@@ -1,0 +1,44 @@
+"""fourier_feature_nets_tpu: a TPU-native framework for Fourier Feature
+Networks and neural volume rendering.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+matajoh/fourier_feature_nets: models, ray sampling, volume rendering,
+datasets, training and visualization — engineered for TPU (MXU-shaped
+matmuls, on-device sampling, one-jit train steps, data parallelism
+over device meshes).
+"""
+
+from . import ops
+from .cameras import CameraInfo, Ray, Resolution
+from .models import (
+    BasicFourierMLP,
+    FourierFeatureMLP,
+    GaussianFourierMLP,
+    MLP,
+    NeRF,
+    PositionalFourierMLP,
+    Voxels,
+    load_model,
+    save_model,
+)
+from .ops import calculate_blend_weights, interpolate_bilinear
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ops",
+    "CameraInfo",
+    "Ray",
+    "Resolution",
+    "BasicFourierMLP",
+    "FourierFeatureMLP",
+    "GaussianFourierMLP",
+    "MLP",
+    "NeRF",
+    "PositionalFourierMLP",
+    "Voxels",
+    "load_model",
+    "save_model",
+    "calculate_blend_weights",
+    "interpolate_bilinear",
+]

@@ -1,0 +1,31 @@
+"""Radiance-field model family."""
+
+from .fourier import (
+    BasicFourierMLP,
+    FourierFeatureMLP,
+    GaussianFourierMLP,
+    MLP,
+    PositionalFourierMLP,
+)
+from .module import Model, linear_apply, linear_init, mlp_apply, mlp_init
+from .nerf import NeRF
+from .serialization import load_model, load_torch_model, save_model
+from .voxels import Voxels
+
+__all__ = [
+    "BasicFourierMLP",
+    "FourierFeatureMLP",
+    "GaussianFourierMLP",
+    "MLP",
+    "PositionalFourierMLP",
+    "Model",
+    "linear_apply",
+    "linear_init",
+    "mlp_apply",
+    "mlp_init",
+    "NeRF",
+    "Voxels",
+    "load_model",
+    "load_torch_model",
+    "save_model",
+]

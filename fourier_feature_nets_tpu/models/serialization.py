@@ -1,0 +1,159 @@
+"""Self-describing model checkpoints.
+
+Like the reference's ``save``/``load_model`` scheme
+(/root/reference/fourier_feature_nets/fourier_feature_models.py:80-89,
+utils.py:448-503), every checkpoint embeds a ``type`` tag and the
+constructor ``params`` so loading needs no external configuration.
+Storage is a plain NPZ: a JSON manifest plus the flattened parameter
+pytree — readable anywhere NumPy is, no torch/pickle dependency.
+
+For cross-validation against the PyTorch reference,
+:func:`load_torch_model` imports the reference's ``.pt`` checkpoints
+(weights transposed to the x @ W convention) when torch is available.
+"""
+
+import json
+import os
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .fourier import FourierFeatureMLP
+from .module import Model
+from .nerf import NeRF
+from .voxels import Voxels
+
+__all__ = ["save_model", "load_model", "load_torch_model"]
+
+_MODEL_TYPES = {
+    "fourier": FourierFeatureMLP,
+    "nerf": NeRF,
+    "voxels": Voxels,
+}
+
+
+def _flatten(tree, prefix=""):
+    """Flattens a nested dict/list param tree to {path: array}."""
+    if isinstance(tree, dict):
+        out = {}
+        for key, value in tree.items():
+            out.update(_flatten(value, f"{prefix}{key}/"))
+        return out
+    if isinstance(tree, (list, tuple)):
+        out = {}
+        for i, value in enumerate(tree):
+            out.update(_flatten(value, f"{prefix}{i}/"))
+        return out
+    return {prefix[:-1]: np.asarray(tree)}
+
+
+def _unflatten(flat):
+    """Inverts :func:`_flatten`; integer path segments become lists."""
+    tree = {}
+    for path, value in flat.items():
+        keys = path.split("/")
+        node = tree
+        for key in keys[:-1]:
+            node = node.setdefault(key, {})
+        node[keys[-1]] = jnp.asarray(value)
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        if node and all(k.isdigit() for k in node):
+            return [listify(node[str(i)]) for i in range(len(node))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(tree)
+
+
+def save_model(model: Model, params, path: str):
+    """Saves a model + parameters to a self-describing NPZ checkpoint."""
+    manifest = {"type": model.model_type, "params": model.params_manifest}
+    flat = _flatten(params)
+    np.savez(path, __manifest__=json.dumps(manifest), **flat)
+
+
+def build_model(model_type: str, ctor_params: dict) -> Model:
+    """Reconstructs a model object from its manifest."""
+    if model_type not in _MODEL_TYPES:
+        raise ValueError(f"Unrecognized model type: {model_type}")
+    ctor_params = dict(ctor_params)
+    if model_type == "fourier":
+        for key in ("a_values", "b_values"):
+            if ctor_params.get(key) is not None:
+                ctor_params[key] = np.asarray(ctor_params[key], np.float32)
+    return _MODEL_TYPES[model_type](**ctor_params)
+
+
+def load_model(path: str) -> Tuple[Model, dict]:
+    """Loads a model from an NPZ (or reference .pt) checkpoint.
+
+    Returns:
+        (model, params): the reconstructed model object and its
+        parameter pytree.
+    """
+    if path.endswith(".pt") or path.endswith(".pth"):
+        return load_torch_model(path)
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    with np.load(path, allow_pickle=False) as data:
+        manifest = json.loads(str(data["__manifest__"]))
+        flat = {k: data[k] for k in data.files if k != "__manifest__"}
+    model = build_model(manifest["type"], manifest["params"])
+    return model, _unflatten(flat)
+
+
+def load_torch_model(path: str) -> Tuple[Model, dict]:
+    """Imports a reference PyTorch checkpoint (utils.py:479-503 parity).
+
+    Torch Linear weights are (out, in); they are transposed to this
+    framework's (in, out) convention. The Voxels grid moves from
+    (1, 4, D, H, W) to (D, H, W, 4).
+    """
+    import torch  # local import: torch is optional at runtime
+
+    state_dict = torch.load(path, map_location="cpu", weights_only=False)
+    model_type = state_dict.pop("type")
+    ctor_params = state_dict.pop("params")
+    model = build_model(model_type, ctor_params)
+
+    tensors = {k: v.detach().cpu().numpy() for k, v in state_dict.items()}
+
+    if model_type in ("fourier",):
+        layers = []
+        i = 0
+        while f"layers.{i}.weight" in tensors:
+            layers.append({
+                "weight": jnp.asarray(tensors[f"layers.{i}.weight"].T),
+                "bias": jnp.asarray(tensors[f"layers.{i}.bias"]),
+            })
+            i += 1
+        params = {"layers": layers}
+    elif model_type == "nerf":
+        layers = []
+        i = 0
+        while f"layers.{i}.weight" in tensors:
+            layers.append({
+                "weight": jnp.asarray(tensors[f"layers.{i}.weight"].T),
+                "bias": jnp.asarray(tensors[f"layers.{i}.bias"]),
+            })
+            i += 1
+        params = {"layers": layers}
+        for head in ("opacity_out", "bottleneck", "hidden_view",
+                     "color_out"):
+            params[head] = {
+                "weight": jnp.asarray(tensors[f"{head}.weight"].T),
+                "bias": jnp.asarray(tensors[f"{head}.bias"]),
+            }
+    elif model_type == "voxels":
+        voxels = tensors["voxels"][0]  # (4, D, H, W)
+        params = {
+            "voxels": jnp.asarray(np.moveaxis(voxels, 0, -1)),
+            "bias": jnp.asarray(tensors["bias"][0]),
+        }
+    else:
+        raise ValueError(f"Unrecognized model type: {model_type}")
+
+    return model, params

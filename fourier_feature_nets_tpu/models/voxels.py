@@ -1,0 +1,68 @@
+"""Trilinear voxel radiance field.
+
+Functional re-design of the reference voxel model
+(/root/reference/fourier_feature_nets/voxels_model.py:8-56): a
+learnable (side, side, side, 4) grid queried by trilinear
+interpolation with border clamping (torch grid_sample
+align_corners=False parity — see ops/grid_sample.py), plus a learnable
+per-channel bias initialized to logit(1e-5) for color and -2 for
+opacity.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.grid_sample import grid_sample_3d
+from .module import Model
+
+__all__ = ["Voxels"]
+
+
+def _logit(x: float) -> float:
+    return float(np.log(x) - np.log1p(-x))
+
+
+class Voxels(Model):
+    """A voxel-based radiance field model."""
+
+    model_type = "voxels"
+    use_view = False
+
+    def __init__(self, side: int, scale: float):
+        """Constructor.
+
+        Args:
+            side: voxels per cube edge.
+            scale: half-extent of the volume (scale 1 = 2x2x2 volume).
+        """
+        self.side = side
+        self.scale = scale
+
+    @property
+    def params_manifest(self) -> dict:
+        return {"side": self.side, "scale": self.scale}
+
+    def init(self, rng: jax.Array):
+        """Zero-initialized grid + reference bias (voxels_model.py:26-31)."""
+        del rng  # deterministic init
+        voxels = jnp.zeros((self.side, self.side, self.side, 4),
+                           jnp.float32)
+        bias = jnp.array([_logit(1e-5)] * 3 + [-2.0], jnp.float32)
+        return {"voxels": voxels, "bias": bias}
+
+    def apply(self, params, positions: jnp.ndarray,
+              compute_dtype=None) -> jnp.ndarray:
+        """Interpolates positions within the voxel volume.
+
+        Args:
+            positions: (N, 3) world positions; divided by ``scale``
+                to the normalized [-1, 1] grid domain.
+
+        Returns:
+            (N, 4) color + opacity logits.
+        """
+        del compute_dtype  # gather/lerp; no matmul to downcast
+        coords = positions.reshape(-1, 3) / self.scale
+        output = grid_sample_3d(params["voxels"], coords)
+        return output + params["bias"]

@@ -1,0 +1,158 @@
+"""On-device ray sample placement.
+
+Everything the reference's CPU-side sampler computes per batch
+(/root/reference/fourier_feature_nets/ray_sampler.py:301-403) —
+uniform midpoint depths, stratified jitter, near/far annealing and
+inverse-CDF focus sampling — expressed as pure, jit-safe functions of
+``(near, far, rng, step)``. This erases the host->device transfer the
+reference performs every training step (ray_caster.py:98).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .blend import calculate_blend_weights
+
+__all__ = [
+    "batch_linspace",
+    "anneal_near_far",
+    "uniform_t_values",
+    "determine_cdf",
+    "inverse_cdf_t_values",
+    "sample_positions",
+]
+
+
+def batch_linspace(start: jnp.ndarray, stop: jnp.ndarray,
+                   num_samples: int) -> jnp.ndarray:
+    """Vectorized linspace: (...,) bounds -> (..., num_samples) ramps.
+
+    Parity: utils.py:179-194 (tensor generalization of linspace).
+    """
+    steps = jnp.linspace(0.0, 1.0, num_samples, dtype=start.dtype)
+    return start[..., None] + steps * (stop - start)[..., None]
+
+
+def anneal_near_far(near: jnp.ndarray, far: jnp.ndarray, step,
+                    anneal_start: float, num_anneal_steps: int):
+    """Shrinks [near, far] toward its midpoint early in training.
+
+    Parity: ray_sampler.py:373-378. For ``step >= num_anneal_steps``
+    (or no annealing configured) the bounds pass through unchanged.
+    ``step`` may be a traced scalar; the blend factor is computed with
+    jnp so the whole training step stays inside one jit.
+    """
+    if num_anneal_steps <= 0:
+        return near, far
+    progress = jnp.asarray(step, jnp.float32) / num_anneal_steps
+    anneal = jnp.clip(progress, anneal_start, 1.0)
+    anneal = jnp.where(jnp.asarray(step) < num_anneal_steps, anneal, 1.0)
+    midpoint = (near + far) * 0.5
+    return (midpoint + (near - midpoint) * anneal,
+            midpoint + (far - midpoint) * anneal)
+
+
+def uniform_t_values(near: jnp.ndarray, far: jnp.ndarray, num_samples: int,
+                     rng: jax.Array = None) -> jnp.ndarray:
+    """Evenly spaced sample depths with optional stratified jitter.
+
+    Parity: ray_sampler.py:380-386 — a linspace from near to far, plus
+    (when ``rng`` is given) per-sample uniform jitter of up to one bin
+    width ``(far - near) / num_samples``.
+
+    Args:
+        near: (R,) entry depths.
+        far: (R,) exit depths.
+        num_samples: samples per ray.
+        rng: PRNG key for stratified jitter, or None for deterministic.
+
+    Returns:
+        (R, num_samples) t values.
+    """
+    t_values = batch_linspace(near, far, num_samples)
+    if rng is not None:
+        scale = (far - near) / num_samples
+        jitter = jax.random.uniform(rng, t_values.shape, t_values.dtype)
+        t_values = t_values + jitter * scale[..., None]
+    return t_values
+
+
+def determine_cdf(t_values: jnp.ndarray,
+                  opacity: jnp.ndarray) -> jnp.ndarray:
+    """Builds a per-ray CDF over depth from coarse opacity estimates.
+
+    Parity: ray_sampler.py:59-67 — blend weights with their first and
+    last samples dropped, floored at 1e-5, normalized cumulative sum
+    with a zero prepended. Output shape (R, S-1) for input (R, S).
+    """
+    weights = calculate_blend_weights(t_values, opacity)
+    weights = weights[..., 1:-1] + 1e-5
+    cdf = jnp.cumsum(weights, axis=-1)
+    cdf = cdf / cdf[..., -1:]
+    zero = jnp.zeros_like(cdf[..., :1])
+    return jnp.concatenate([zero, cdf], axis=-1)
+
+
+def inverse_cdf_t_values(near: jnp.ndarray, far: jnp.ndarray,
+                         cdf: jnp.ndarray, num_samples: int,
+                         num_cdf_samples: int,
+                         rng: jax.Array = None) -> jnp.ndarray:
+    """Inverse-transform sampling of depths from a per-ray CDF.
+
+    The coarse t grid is reconstructed exactly as the CDF was built
+    over it — midpoints of a ``num_cdf_samples``-point linspace over
+    [near, far] (ray_sampler.py:305-307) — then ``num_samples``
+    uniform (or evenly spaced) quantiles are mapped through the CDF by
+    searchsorted + linear interpolation (ray_sampler.py:301-357).
+
+    Args:
+        near/far: (R,) the *unannealed* ray bounds used to build the CDF.
+        cdf: (R, num_cdf_samples - 1) cumulative distribution.
+        num_samples: number of focus samples to draw per ray.
+        num_cdf_samples: resolution of the coarse grid the CDF came from.
+        rng: PRNG key for random quantiles, or None for even spacing.
+
+    Returns:
+        (R, num_samples) sampled t values.
+    """
+    t_values = batch_linspace(near, far, num_cdf_samples)
+    t_values = 0.5 * (t_values[..., :-1] + t_values[..., 1:])
+
+    num_rays = near.shape[0]
+    if rng is not None:
+        quantiles = jax.random.uniform(rng, (num_rays, num_samples))
+    else:
+        quantiles = jnp.broadcast_to(jnp.linspace(0.0, 1.0, num_samples),
+                                     (num_rays, num_samples))
+
+    index = jax.vmap(partial(jnp.searchsorted, side="right"))(cdf, quantiles)
+    i = jnp.maximum(index - 1, 0)
+    j = jnp.minimum(index, cdf.shape[-1] - 1)
+
+    cdf_i = jnp.take_along_axis(cdf, i, axis=-1)
+    cdf_j = jnp.take_along_axis(cdf, j, axis=-1)
+    t_i = jnp.take_along_axis(t_values, i, axis=-1)
+    t_j = jnp.take_along_axis(t_values, j, axis=-1)
+
+    denominator = cdf_j - cdf_i
+    denominator = jnp.where(denominator < 1e-5,
+                            jnp.ones_like(denominator), denominator)
+    t_diff = (quantiles - cdf_i) / denominator
+    return t_i + t_diff * (t_j - t_i)
+
+
+def sample_positions(starts: jnp.ndarray, directions: jnp.ndarray,
+                     t_values: jnp.ndarray) -> jnp.ndarray:
+    """Expands rays into 3D sample positions: ``start + t * direction``.
+
+    Args:
+        starts: (R, 3) ray origins.
+        directions: (R, 3) ray directions.
+        t_values: (R, S) sample depths.
+
+    Returns:
+        (R, S, 3) positions.
+    """
+    return starts[:, None, :] + t_values[..., None] * directions[:, None, :]

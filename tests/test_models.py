@@ -1,0 +1,223 @@
+"""Model family tests: shapes, parity vs the torch reference math,
+and checkpoint round-trips."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fourier_feature_nets_tpu.models import (
+    BasicFourierMLP,
+    FourierFeatureMLP,
+    GaussianFourierMLP,
+    MLP,
+    NeRF,
+    PositionalFourierMLP,
+    Voxels,
+    load_model,
+    save_model,
+)
+
+
+class TestFourierFamily:
+    @pytest.mark.parametrize("model", [
+        MLP(2, 3, num_layers=2, num_channels=32),
+        BasicFourierMLP(2, 3, num_layers=2, num_channels=32),
+        PositionalFourierMLP(2, 3, 6.0, num_layers=2, num_channels=32,
+                             embedding_size=64),
+        GaussianFourierMLP(2, 3, 10.0, num_layers=2, num_channels=32,
+                           embedding_size=64),
+    ])
+    def test_shapes(self, model):
+        params = model.init(jax.random.PRNGKey(0))
+        out = model.apply(params, jnp.zeros((5, 2)))
+        assert out.shape == (5, 3)
+        assert not model.use_view
+
+    def test_mlp_is_identity_encoding(self):
+        model = MLP(2, 1, num_layers=1, num_channels=8)
+        assert model.b_values is None
+        x = jnp.array([[0.3, -0.2]])
+        np.testing.assert_allclose(np.asarray(model.encode(x)),
+                                   np.asarray(x))
+
+    def test_encode_uses_pi_scale(self):
+        model = BasicFourierMLP(1, 1, num_layers=1, num_channels=8)
+        x = jnp.array([[0.5]])
+        enc = np.asarray(model.encode(x))
+        np.testing.assert_allclose(
+            enc[0], [np.cos(np.pi * 0.5), np.sin(np.pi * 0.5)], atol=1e-6)
+
+    def test_return_hidden(self):
+        model = MLP(2, 3, num_layers=2, num_channels=16)
+        params = model.init(jax.random.PRNGKey(0))
+        out, hidden = model.apply(params, jnp.zeros((5, 2)),
+                                  return_hidden=True)
+        assert out.shape == (5, 3)
+        assert hidden.shape == (5, 16)
+
+    def test_forward_torch_parity(self, rng):
+        """Same weights => same outputs as a torch transcription."""
+        torch = pytest.importorskip("torch")
+        model = PositionalFourierMLP(3, 4, 6.0, num_layers=2,
+                                     num_channels=32, embedding_size=60)
+        params = model.init(jax.random.PRNGKey(7))
+        x = rng.uniform(-1, 1, (17, 3)).astype(np.float32)
+
+        ours = np.asarray(model.apply(params, jnp.asarray(x)))
+
+        tx = torch.from_numpy(x)
+        b = torch.from_numpy(np.asarray(model.b_values))
+        a = torch.from_numpy(np.asarray(model.a_values))
+        enc = (np.pi * tx) @ b
+        h = torch.cat([a * enc.cos(), a * enc.sin()], -1)
+        for layer in params["layers"][:-1]:
+            w = torch.from_numpy(np.asarray(layer["weight"]))
+            bb = torch.from_numpy(np.asarray(layer["bias"]))
+            h = torch.relu(h @ w + bb)
+        w = torch.from_numpy(np.asarray(params["layers"][-1]["weight"]))
+        bb = torch.from_numpy(np.asarray(params["layers"][-1]["bias"]))
+        theirs = (h @ w + bb).numpy()
+
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+    def test_init_statistics_match_torch_linear(self):
+        """Weights ~ U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+        model = MLP(8, 1, num_layers=1, num_channels=4096)
+        params = model.init(jax.random.PRNGKey(0))
+        w = np.asarray(params["layers"][0]["weight"])
+        bound = 1 / np.sqrt(8)
+        assert w.min() >= -bound and w.max() <= bound
+        assert abs(w.mean()) < 0.01
+        np.testing.assert_allclose(w.std(), bound / np.sqrt(3), rtol=0.05)
+
+
+class TestNeRF:
+    def test_shapes_default_config(self):
+        """The train_nerf.py default configuration (train_nerf.py:80-83)."""
+        model = NeRF(num_layers=8, num_channels=256, max_log_scale_pos=9.0,
+                     num_freq_pos=10, max_log_scale_view=3.0,
+                     num_freq_view=4, skips=[4], include_inputs=True)
+        params = model.init(jax.random.PRNGKey(0))
+        out = model.apply(params, jnp.zeros((7, 3)), jnp.zeros((7, 3)))
+        assert out.shape == (7, 4)
+        assert model.use_view
+        # encoded pos: 2*30+3 = 63; view: 2*12+3 = 27
+        assert params["layers"][0]["weight"].shape == (63, 256)
+        assert params["layers"][4]["weight"].shape == (256 + 63, 256)
+        assert params["hidden_view"]["weight"].shape == (256 + 27, 128)
+        assert params["color_out"]["weight"].shape == (128, 3)
+
+    def test_opacity_is_view_independent(self):
+        model = NeRF(num_layers=2, num_channels=32, max_log_scale_pos=3.0,
+                     num_freq_pos=4, max_log_scale_view=1.0,
+                     num_freq_view=2, skips=[], include_inputs=False)
+        params = model.init(jax.random.PRNGKey(1))
+        pos = jnp.array([[0.1, 0.2, 0.3]])
+        v1 = jnp.array([[1.0, 0.0, 0.0]])
+        v2 = jnp.array([[0.0, 1.0, 0.0]])
+        o1 = model.apply(params, pos, v1)
+        o2 = model.apply(params, pos, v2)
+        assert float(o1[0, 3]) == pytest.approx(float(o2[0, 3]), abs=1e-6)
+        assert not np.allclose(np.asarray(o1[0, :3]), np.asarray(o2[0, :3]))
+
+
+class TestVoxels:
+    def test_bias_init(self):
+        model = Voxels(side=8, scale=1.0)
+        params = model.init(jax.random.PRNGKey(0))
+        out = np.asarray(model.apply(params, jnp.zeros((3, 3))))
+        logit = np.log(1e-5) - np.log1p(-1e-5)
+        np.testing.assert_allclose(out[:, :3], logit, rtol=1e-5)
+        np.testing.assert_allclose(out[:, 3], -2.0, rtol=1e-5)
+
+    def test_torch_grid_sample_parity(self, rng):
+        """Full voxel model forward vs the reference torch math."""
+        torch = pytest.importorskip("torch")
+        side, scale = 6, 2.0
+        model = Voxels(side=side, scale=scale)
+        params = model.init(jax.random.PRNGKey(0))
+        grid = rng.normal(size=(side, side, side, 4)).astype(np.float32)
+        params = {**params, "voxels": jnp.asarray(grid)}
+        positions = rng.uniform(-2.2, 2.2, (64, 3)).astype(np.float32)
+
+        ours = np.asarray(model.apply(params, jnp.asarray(positions)))
+
+        tvox = torch.from_numpy(np.moveaxis(grid, -1, 0))[None]
+        tpos = torch.from_numpy(positions / scale).reshape(1, -1, 1, 1, 3)
+        out = torch.nn.functional.grid_sample(
+            tvox, tpos, padding_mode="border", align_corners=False)
+        theirs = out.reshape(4, -1).T.numpy() + np.asarray(params["bias"])
+
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+class TestSerialization:
+    @pytest.mark.parametrize("make_model", [
+        lambda: MLP(2, 3, num_layers=2, num_channels=16),
+        lambda: PositionalFourierMLP(2, 3, 4.0, num_layers=2,
+                                     num_channels=16, embedding_size=32),
+        lambda: NeRF(num_layers=2, num_channels=16, max_log_scale_pos=2.0,
+                     num_freq_pos=3, max_log_scale_view=1.0,
+                     num_freq_view=2, skips=[1], include_inputs=True),
+        lambda: Voxels(side=4, scale=1.5),
+    ])
+    def test_roundtrip(self, tmp_path, make_model):
+        model = make_model()
+        params = model.init(jax.random.PRNGKey(3))
+        path = str(tmp_path / "model.npz")
+        save_model(model, params, path)
+        loaded_model, loaded_params = load_model(path)
+
+        assert loaded_model.model_type == model.model_type
+        assert loaded_model.params_manifest == model.params_manifest
+
+        x = jnp.full((4, 3), 0.25)
+        if model.model_type == "nerf":
+            before = model.apply(params, x, x)
+            after = loaded_model.apply(loaded_params, x, x)
+        elif model.model_type == "voxels":
+            before = model.apply(params, x)
+            after = loaded_model.apply(loaded_params, x)
+        else:
+            before = model.apply(params, x[:, :2])
+            after = loaded_model.apply(loaded_params, x[:, :2])
+        np.testing.assert_allclose(np.asarray(before), np.asarray(after),
+                                   rtol=1e-6)
+
+    def test_torch_import_fourier(self, tmp_path, rng):
+        """Import a .pt checkpoint written in the reference's format."""
+        torch = pytest.importorskip("torch")
+        b = rng.normal(size=(2, 8)).astype(np.float32)
+        a = np.ones(8, np.float32)
+        w0 = rng.normal(size=(16, 16)).astype(np.float32)  # torch (out,in)
+        b0 = rng.normal(size=(16,)).astype(np.float32)
+        w1 = rng.normal(size=(3, 16)).astype(np.float32)
+        b1 = rng.normal(size=(3,)).astype(np.float32)
+        state = {
+            "type": "fourier",
+            "params": {"num_inputs": 2, "num_outputs": 3,
+                       "a_values": a.tolist(), "b_values": b.tolist(),
+                       "layer_channels": [16]},
+            "a_values": torch.from_numpy(a),
+            "b_values": torch.from_numpy(b),
+            "layers.0.weight": torch.from_numpy(w0),
+            "layers.0.bias": torch.from_numpy(b0),
+            "layers.1.weight": torch.from_numpy(w1),
+            "layers.1.bias": torch.from_numpy(b1),
+        }
+        path = str(tmp_path / "ref.pt")
+        torch.save(state, path)
+
+        model, params = load_model(path)
+        assert isinstance(model, FourierFeatureMLP)
+        x = rng.uniform(0, 2, (5, 2)).astype(np.float32)
+        ours = np.asarray(model.apply(params, jnp.asarray(x)))
+
+        tx = torch.from_numpy(x)
+        enc = (np.pi * tx) @ torch.from_numpy(b)
+        h = torch.cat([torch.from_numpy(a) * enc.cos(),
+                       torch.from_numpy(a) * enc.sin()], -1)
+        h = torch.relu(h @ torch.from_numpy(w0).T + torch.from_numpy(b0))
+        theirs = (h @ torch.from_numpy(w1).T + torch.from_numpy(b1)).numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
