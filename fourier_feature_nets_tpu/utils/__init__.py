@@ -1,0 +1,41 @@
+"""Training utilities: optimization, schedules, camera paths, logging."""
+
+from .assets import ASSETS, default_data_dir, download_asset
+from .camera_paths import (
+    fibonacci_hemisphere,
+    hemisphere,
+    look_at_extrinsics,
+    orbit,
+    rotation_about_axis,
+    shuffle_positions,
+)
+from .optim import (
+    AdamState,
+    adam_init,
+    adam_update,
+    clip_gradients,
+    exponential_lr,
+    global_norm,
+)
+from .progress import ETABar, LogEntry, write_log
+
+__all__ = [
+    "ASSETS",
+    "default_data_dir",
+    "download_asset",
+    "fibonacci_hemisphere",
+    "hemisphere",
+    "look_at_extrinsics",
+    "orbit",
+    "rotation_about_axis",
+    "shuffle_positions",
+    "AdamState",
+    "adam_init",
+    "adam_update",
+    "clip_gradients",
+    "exponential_lr",
+    "global_norm",
+    "ETABar",
+    "LogEntry",
+    "write_log",
+]
