@@ -10,6 +10,23 @@ over device meshes).
 
 from . import ops
 from .cameras import CameraInfo, Ray, Resolution
+from .datasets import (
+    ImageDataset,
+    Mode,
+    PixelDataset,
+    RayDataset,
+    RenderResult,
+    SignalDataset,
+    generate_synthetic_dataset,
+)
+from .render import Raycaster, RaySampler, RaySamples
+from .utils import (
+    ETABar,
+    download_asset,
+    exponential_lr,
+    hemisphere,
+    orbit,
+)
 from .models import (
     BasicFourierMLP,
     FourierFeatureMLP,
@@ -30,6 +47,21 @@ __all__ = [
     "CameraInfo",
     "Ray",
     "Resolution",
+    "ImageDataset",
+    "Mode",
+    "PixelDataset",
+    "RayDataset",
+    "RenderResult",
+    "SignalDataset",
+    "generate_synthetic_dataset",
+    "Raycaster",
+    "RaySampler",
+    "RaySamples",
+    "ETABar",
+    "download_asset",
+    "exponential_lr",
+    "hemisphere",
+    "orbit",
     "BasicFourierMLP",
     "FourierFeatureMLP",
     "GaussianFourierMLP",

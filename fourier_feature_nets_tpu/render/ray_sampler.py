@@ -1,0 +1,255 @@
+"""On-device ray sampling engine.
+
+TPU re-design of the reference sampler
+(/root/reference/fourier_feature_nets/ray_sampler.py). The reference
+splits work between a CPU sampler (linspace/jitter/inverse-CDF per
+batch, Python index sets) and a GPU model, shipping rays host->device
+every step (ray_caster.py:98). Here the split disappears:
+
+  * Ray origins/directions/near-far (and focus-sampling CDFs) are
+    precomputed ONCE into device arrays at construction.
+  * ``sample(idx, step, rng)`` is a pure, jit-safe function: gathers +
+    linspace + stratified jitter + inverse-CDF + sort, all on device,
+    so it fuses into the training step.
+  * Invalid rays (missing the volume) are a precomputed boolean mask
+    instead of a Python set; index pools are filtered once on host.
+"""
+
+from typing import List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cameras import CameraInfo, raycast_grid
+from ..ops import (
+    anneal_near_far,
+    batch_linspace,
+    bounds_min_max,
+    determine_cdf,
+    inverse_cdf_t_values,
+    ray_aabb_near_far,
+    uniform_t_values,
+)
+
+__all__ = ["RaySamples", "RaySampler"]
+
+
+class RaySamples(NamedTuple):
+    """Point samples along rays, grouped (num_rays, num_samples).
+
+    Parity: ray_sampler.py:15-56. ``rays`` holds the global ray index
+    of each row (camera-major, row-major pixel order).
+    """
+
+    positions: jnp.ndarray
+    view_directions: jnp.ndarray
+    t_values: jnp.ndarray
+    rays: jnp.ndarray
+
+    def subset(self, index) -> "RaySamples":
+        """Selects a subset of rays."""
+        return RaySamples(*[None if t is None else t[index]
+                            for t in self])
+
+    def numpy(self) -> "RaySamples":
+        """Converts all tensors to NumPy."""
+        return RaySamples(*[None if t is None else np.asarray(t)
+                            for t in self])
+
+
+class RaySampler:
+    """Samples points along camera rays cast into a bounded volume."""
+
+    def __init__(self, bounds: np.ndarray, cameras: List[CameraInfo],
+                 num_samples: int, stratified: bool = False,
+                 opacity_model=None, opacity_params=None,
+                 batch_size: int = 4096, anneal_start: float = 0.5,
+                 num_anneal_steps: int = 0):
+        """Constructor.
+
+        Args:
+            bounds: (4, 4) transform from the unit cube to the render
+                volume.
+            cameras: scene cameras (all same resolution).
+            num_samples: samples per ray.
+            stratified: use stratified (jittered) sampling.
+            opacity_model/opacity_params: optional model + params used
+                to precompute inverse-CDF focus sampling distributions
+                (ray_sampler.py:59-67, 161-166).
+            batch_size: rays per batch for the opacity sweep.
+            anneal_start/num_anneal_steps: sample-space annealing
+                schedule (ray_sampler.py:373-378).
+        """
+        self.bounds = np.asarray(bounds, np.float32)
+        lo, hi = bounds_min_max(bounds)
+        self.bounds_min, self.bounds_max = lo, hi
+        self.image_width, self.image_height = cameras[0].resolution
+        self.rays_per_camera = self.image_width * self.image_height
+        self.num_cameras = len(cameras)
+        self.num_rays = self.num_cameras * self.rays_per_camera
+        self.num_samples = num_samples
+        self.stratified = stratified
+        self.anneal_start = anneal_start
+        self.num_anneal_steps = num_anneal_steps
+        self.cameras = cameras
+        self.batch_size = batch_size
+        self.opacity_model = opacity_model
+        self.opacity_params = opacity_params
+        self.focus_sampling = opacity_model is not None
+
+        ray = raycast_grid(cameras)
+        self.starts = jnp.asarray(ray.origin.astype(np.float32))
+        self.directions = jnp.asarray(ray.direction.astype(np.float32))
+        nf = ray_aabb_near_far(self.starts, self.directions,
+                               jnp.asarray(lo), jnp.asarray(hi))
+        # sanitize invalid rays so downstream math stays finite
+        self.near = jnp.where(nf.valid, nf.near, 1.0)
+        self.far = jnp.where(nf.valid, nf.far, 2.0)
+        self.valid = np.asarray(nf.valid)
+
+        if self.focus_sampling:
+            self.num_focus_samples = num_samples - num_samples // 2
+            self.cdfs = self._precompute_cdfs()
+        else:
+            self.num_focus_samples = 0
+            self.cdfs = None
+
+    # ------------------------------------------------------------------
+    # construction helpers
+    # ------------------------------------------------------------------
+
+    def _precompute_cdfs(self) -> jnp.ndarray:
+        """Sweeps the opacity model over all rays to build focus CDFs.
+
+        Parity: ray_sampler.py:148-166 + 234-269 — opacity is the
+        softplus of the model's last output channel evaluated on a
+        ``num_focus_samples``-point linspace grid per ray.
+        """
+        model = self.opacity_model
+        params = self.opacity_params
+        num_grid = self.num_focus_samples
+
+        @jax.jit
+        def cdf_batch(starts, directions, near, far):
+            t_values = batch_linspace(near, far, num_grid)
+            positions = (starts[:, None, :]
+                         + t_values[..., None] * directions[:, None, :])
+            flat_pos = positions.reshape(-1, 3)
+            if model.use_view:
+                views = jnp.broadcast_to(directions[:, None, :],
+                                         positions.shape).reshape(-1, 3)
+                logits = model.apply(params, flat_pos, views)[:, -1]
+            else:
+                logits = model.apply(params, flat_pos)[:, -1]
+            opacity = jax.nn.softplus(logits).reshape(-1, num_grid)
+            return determine_cdf(t_values, opacity)
+
+        cdfs = []
+        for start in range(0, self.num_rays, self.batch_size):
+            end = min(start + self.batch_size, self.num_rays)
+            pad = self.batch_size - (end - start)
+            sel = slice(start, end)
+
+            def padded(x):
+                return jnp.pad(x[sel], [(0, pad)] + [(0, 0)] * (x.ndim - 1),
+                               constant_values=1.0 if x.ndim == 1 else 0.0)
+
+            batch = cdf_batch(padded(self.starts), padded(self.directions),
+                              padded(self.near), padded(self.far))
+            cdfs.append(np.asarray(batch)[:end - start])
+        return jnp.asarray(np.concatenate(cdfs))
+
+    # ------------------------------------------------------------------
+    # sampling (jit-safe)
+    # ------------------------------------------------------------------
+
+    def sample(self, idx: jnp.ndarray, step=None,
+               rng: Optional[jax.Array] = None) -> RaySamples:
+        """Samples the requested rays. Pure and jit-safe.
+
+        Args:
+            idx: (R,) int32 global ray indices (should be valid rays).
+            step: training step (traced scalar ok); None disables
+                annealing (eval-time behavior, ray_sampler.py:373).
+            rng: PRNG key for stratified sampling; required when the
+                sampler was built with ``stratified=True`` and ignored
+                otherwise.
+
+        Returns:
+            RaySamples with (R, num_samples) geometry.
+
+        Parity: ray_sampler.py:359-403 — half the samples uniform
+        (with optional stratified jitter), half inverse-CDF when focus
+        sampling is active, then sorted along the ray.
+        """
+        idx = jnp.asarray(idx)
+        starts = self.starts[idx]
+        directions = self.directions[idx]
+        near = self.near[idx]
+        far = self.far[idx]
+
+        if step is not None and self.num_anneal_steps > 0:
+            near, far = anneal_near_far(near, far, step,
+                                        self.anneal_start,
+                                        self.num_anneal_steps)
+
+        num_uniform = (self.num_samples // 2 if self.focus_sampling
+                       else self.num_samples)
+
+        uniform_rng = focus_rng = None
+        if self.stratified and rng is not None:
+            uniform_rng, focus_rng = jax.random.split(rng)
+
+        t_values = uniform_t_values(near, far, num_uniform, uniform_rng)
+
+        if self.focus_sampling:
+            focus_t = inverse_cdf_t_values(
+                self.near[idx], self.far[idx], self.cdfs[idx],
+                self.num_focus_samples, self.num_focus_samples, focus_rng)
+            t_values = jnp.sort(
+                jnp.concatenate([t_values, focus_t], axis=-1), axis=-1)
+
+        positions = (starts[:, None, :]
+                     + t_values[..., None] * directions[:, None, :])
+        view_directions = jnp.broadcast_to(directions[:, None, :],
+                                           positions.shape)
+        return RaySamples(positions, view_directions, t_values, idx)
+
+    # ------------------------------------------------------------------
+    # host-side index helpers
+    # ------------------------------------------------------------------
+
+    def to_valid(self, idx) -> np.ndarray:
+        """Filters ray indices to those intersecting the volume."""
+        idx = np.asarray(idx)
+        return idx[self.valid[idx]]
+
+    def _valid_for_camera(self, camera: int) -> np.ndarray:
+        start = camera * self.rays_per_camera
+        return self.to_valid(np.arange(start, start + self.rays_per_camera))
+
+    def rays_for_camera(self, camera: int) -> RaySamples:
+        """Returns (deterministic) samples for one camera's valid rays."""
+        return self.sample(jnp.asarray(self._valid_for_camera(camera)))
+
+    def __len__(self) -> int:
+        """Total number of rays (valid or not)."""
+        return self.num_rays
+
+    def to_image(self, camera: int, colors: np.ndarray,
+                 color_space: str = "RGB") -> np.ndarray:
+        """Scatters per-ray colors back into an (H, W, 3) uint8 image.
+
+        Parity: ray_sampler.py:177-200 — invalid rays render black;
+        YCrCb colors are converted to RGB.
+        """
+        idx = self._valid_for_camera(camera) - camera * self.rays_per_camera
+        pixels = np.zeros((self.rays_per_camera, 3), np.float32)
+        pixels[idx] = np.asarray(colors)
+        pixels = pixels.reshape(self.image_height, self.image_width, 3)
+        pixels = (pixels * 255).astype(np.uint8)
+        if color_space == "YCrCb":
+            import cv2
+            pixels = cv2.cvtColor(pixels, cv2.COLOR_YCrCb2RGB)
+        return pixels

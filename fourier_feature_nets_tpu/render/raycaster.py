@@ -1,0 +1,392 @@
+"""Differentiable volumetric raycaster and trainer.
+
+TPU re-design of the reference engine
+(/root/reference/fourier_feature_nets/ray_caster.py). The entire
+training step — ray sampling, model query, volume integral, loss,
+gradients, clipping, Adam update and LR schedule — compiles into ONE
+jitted device function, erasing the reference's per-step
+host->device transfers (ray_caster.py:98) and Python-side batch
+bookkeeping. Data parallelism over rays comes from sharding the batch
+axis across a ``jax.sharding.Mesh``; XLA inserts the gradient
+all-reduce over ICI automatically.
+"""
+
+import time
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..datasets.ray_dataset import Mode, RayDataset, RenderResult
+from ..models.module import Model
+from ..render.ray_sampler import RaySampler, RaySamples
+from ..ops import calculate_blend_weights
+from ..utils.optim import adam_init, adam_update, exponential_lr
+from ..utils.progress import LogEntry
+
+__all__ = ["Raycaster"]
+
+
+class Raycaster:
+    """Volumetric raycaster: renders rays through a radiance field and
+    fits the field to a ray dataset."""
+
+    def __init__(self, model: Model, compute_dtype=None):
+        """Constructor.
+
+        Args:
+            model: the radiance-field model (color+opacity logits).
+            compute_dtype: optional matmul dtype for the model's MLP
+                body (e.g. jnp.bfloat16 for MXU speed); None keeps
+                full f32 parity.
+        """
+        self.model = model
+        self.compute_dtype = compute_dtype
+        self._render_fns = {}
+
+    # ------------------------------------------------------------------
+    # rendering (pure / jit-safe)
+    # ------------------------------------------------------------------
+
+    def render(self, params, ray_samples: RaySamples,
+               include_depth: bool = False) -> RenderResult:
+        """Renders ray samples through the model.
+
+        Parity: ray_caster.py:48-93 — sigmoid on color logits,
+        softplus on opacity, blend weights, alpha excludes the
+        absorbing tail sample, depth is the t value of the
+        highest-weight sample (last sample where alpha < 0.1).
+        """
+        num_rays, num_samples = ray_samples.t_values.shape
+        positions = ray_samples.positions.reshape(-1, 3)
+        if self.model.use_view:
+            views = ray_samples.view_directions.reshape(-1, 3)
+            color_o = self.model.apply(params, positions, views,
+                                       compute_dtype=self.compute_dtype)
+        else:
+            color_o = self.model.apply(params, positions,
+                                       compute_dtype=self.compute_dtype)
+
+        color_o = color_o.reshape(num_rays, num_samples, 4)
+        color = jax.nn.sigmoid(color_o[..., :3])
+        opacity = jax.nn.softplus(color_o[..., 3])
+
+        weights = calculate_blend_weights(ray_samples.t_values, opacity)
+        output_color = jnp.sum(weights[..., None] * color, axis=-2)
+        leading = weights[..., :-1]
+        output_alpha = jnp.sum(leading, axis=-1)
+
+        if include_depth:
+            cutoff = jnp.argmax(leading, axis=-1)
+            cutoff = jnp.where(output_alpha < 0.1, num_samples - 1, cutoff)
+            output_depth = jnp.take_along_axis(
+                ray_samples.t_values, cutoff[:, None], axis=-1)[:, 0]
+        else:
+            output_depth = None
+
+        return RenderResult(output_color, output_alpha, output_depth)
+
+    def _render_jit(self, include_depth: bool):
+        if include_depth not in self._render_fns:
+            @jax.jit
+            def render_fn(params, positions, view_directions, t_values):
+                samples = RaySamples(positions, view_directions, t_values,
+                                     None)
+                result = self.render(params, samples, include_depth)
+                return (result.color, result.alpha,
+                        result.depth if include_depth else result.alpha)
+            self._render_fns[include_depth] = render_fn
+        return self._render_fns[include_depth]
+
+    def batched_render(self, params, samples: RaySamples, batch_size: int,
+                       include_depth: bool) -> RenderResult:
+        """Chunked no-grad rendering of arbitrarily many rays.
+
+        The last chunk is padded to ``batch_size`` so every chunk
+        reuses one compiled executable (fixed shapes), then unpadded
+        (replaces ray_caster.py:103-138's variable final batch).
+        """
+        render_fn = self._render_jit(include_depth)
+        num_rays = samples.positions.shape[0]
+        colors, alphas, depths = [], [], []
+        pos, views, t_values = (np.asarray(samples.positions),
+                                np.asarray(samples.view_directions),
+                                np.asarray(samples.t_values))
+        for start in range(0, num_rays, batch_size):
+            end = min(start + batch_size, num_rays)
+            pad = batch_size - (end - start)
+            p = np.pad(pos[start:end], ((0, pad), (0, 0), (0, 0)))
+            v = np.pad(views[start:end], ((0, pad), (0, 0), (0, 0)))
+            t = np.pad(t_values[start:end], ((0, pad), (0, 0)))
+            color, alpha, depth = render_fn(params, jnp.asarray(p),
+                                            jnp.asarray(v), jnp.asarray(t))
+            take = end - start
+            colors.append(np.asarray(color)[:take])
+            alphas.append(np.asarray(alpha)[:take])
+            if include_depth:
+                depths.append(np.asarray(depth)[:take])
+
+        return RenderResult(
+            np.concatenate(colors), np.concatenate(alphas),
+            np.concatenate(depths) if include_depth else None)
+
+    def render_image(self, params, sampler: RaySampler, index: int,
+                     batch_size: int, color_space: str = "RGB") -> np.ndarray:
+        """Renders a full camera image (ray_caster.py:140-159)."""
+        camera = index % sampler.num_cameras
+        samples = sampler.rays_for_camera(camera)
+        pred = self.batched_render(params, samples, batch_size, False)
+        return sampler.to_image(camera, pred.color, color_space)
+
+    def render_activations(self, params, sampler: RaySampler, index: int,
+                           batch_size: int,
+                           color_space: str = "RGB") -> np.ndarray:
+        """Renders an 8x8 grid of output-layer basis renders
+        (ray_caster.py:161-218).
+
+        Each cell re-renders the camera using a single hidden unit's
+        contribution (activation * palette + bias) as the model
+        output. Requires a model supporting ``return_hidden``.
+        """
+        camera = index % sampler.num_cameras
+        samples = sampler.rays_for_camera(camera)
+        out_layer = params["layers"][-1]
+        palette = out_layer["weight"]  # (hidden, 4)
+        bias = out_layer["bias"]
+
+        @jax.jit
+        def unit_render(positions, t_values):
+            _, hidden = self.model.apply(params, positions.reshape(-1, 3),
+                                         return_hidden=True)
+            # (units, rays*samples, 4): unit u contributes
+            # hidden[:, u] (outer) palette[u, :] + bias
+            per_unit = hidden.T[:, :, None] * palette[:, None, :] + bias
+            num_rays = t_values.shape[0]
+            per_unit = per_unit.reshape(palette.shape[0], num_rays, -1, 4)
+            color = jax.nn.sigmoid(per_unit[..., :3])
+            opacity = jax.nn.softplus(per_unit[..., 3])
+            weights = jax.vmap(calculate_blend_weights,
+                               in_axes=(None, 0))(t_values, opacity)
+            return jnp.sum(weights[..., None] * color, axis=-2)
+
+        unit_colors = []
+        num_rays = samples.positions.shape[0]
+        for start in range(0, num_rays, batch_size):
+            end = min(start + batch_size, num_rays)
+            batch = samples.subset(np.arange(start, end))
+            unit_colors.append(np.asarray(
+                unit_render(batch.positions, batch.t_values)))
+        unit_colors = np.concatenate(unit_colors, axis=1)
+
+        num_grid = 8
+        grid_size = sampler.image_width
+        size = grid_size * num_grid
+        act_pixels = np.zeros((size, size, 3), np.uint8)
+        for i in range(num_grid):
+            for j in range(num_grid):
+                unit = i * num_grid + j
+                pixels = sampler.to_image(camera, unit_colors[unit],
+                                          color_space)
+                act_pixels[i * grid_size:(i + 1) * grid_size,
+                           j * grid_size:(j + 1) * grid_size] = pixels
+        return act_pixels
+
+    # ------------------------------------------------------------------
+    # training
+    # ------------------------------------------------------------------
+
+    def _make_train_step(self, dataset: RayDataset, batch_size: int,
+                         learning_rate: float, decay_rate: float,
+                         decay_steps: int, weight_decay: float,
+                         mesh=None):
+        sampler = dataset.sampler
+        stratified = sampler.stratified
+
+        def step_fn(params, opt_state, perm, offset, step, rng):
+            idx = jax.lax.dynamic_slice(perm, (offset,), (batch_size,))
+            if mesh is not None:
+                idx = jax.lax.with_sharding_constraint(
+                    idx, NamedSharding(mesh, P("data")))
+            step_rng = jax.random.fold_in(rng, step) if stratified else None
+            rays = sampler.sample(idx, step, step_rng)
+
+            def loss_fn(p):
+                render = self.render(p, rays, include_depth=False)
+                return dataset.loss(idx, render)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            lr = exponential_lr(learning_rate, step, decay_rate,
+                                decay_steps)
+            params, opt_state = adam_update(
+                grads, opt_state, params, lr, weight_decay=weight_decay,
+                clip_value=0.1, clip_norm=0.1)
+            return params, opt_state, loss
+
+        return jax.jit(step_fn, donate_argnums=(0, 1))
+
+    def _make_loss_fn(self, dataset: RayDataset, batch_size: int):
+        sampler = dataset.sampler
+
+        @jax.jit
+        def loss_fn(params, idx, step):
+            rays = sampler.sample(idx, step, None)
+            render = self.render(params, rays, include_depth=False)
+            return dataset.loss(idx, render)
+
+        return loss_fn
+
+    def _validate(self, params, dataset: RayDataset, batch_size: int,
+                  step: int, loss_fn) -> float:
+        """PSNR over <=102,400 evenly strided valid rays
+        (ray_caster.py:220-246)."""
+        num_rays = len(dataset)
+        num_validate = min(num_rays, 1024 * 100)
+        if num_validate < num_rays:
+            val_index = np.linspace(0, num_rays, num_validate,
+                                    endpoint=False).astype(np.int64)
+        else:
+            val_index = np.arange(num_rays)
+        if dataset.mode != Mode.Full:
+            val_index = dataset._mode_index(dataset.mode)[val_index]
+        val_index = dataset.to_valid(val_index)
+
+        losses = []
+        for start in range(0, len(val_index), batch_size):
+            if start + batch_size > len(val_index):
+                break
+            batch = jnp.asarray(val_index[start:start + batch_size])
+            losses.append(float(loss_fn(params, batch,
+                                        jnp.asarray(step, jnp.int32))))
+        mean_loss = float(np.mean(losses))
+        return float(-10.0 * np.log10(mean_loss))
+
+    def fit(self, params, train_dataset: RayDataset,
+            val_dataset: RayDataset, batch_size: int,
+            learning_rate: float, num_steps: int, crop_steps: int,
+            report_interval: int, decay_rate: float, decay_steps: int,
+            weight_decay: float = 0.0, visualizers=(),
+            mesh=None, seed: int = 0,
+            metric_logger=None) -> Tuple[dict, List[LogEntry]]:
+        """Fits the model to the dataset (ray_caster.py:248-377 parity).
+
+        Args:
+            params: initial model parameters.
+            train_dataset / val_dataset: ray datasets.
+            batch_size: rays per training step (global across mesh).
+            learning_rate / decay_rate / decay_steps: per-step
+                exponential LR schedule.
+            num_steps: total optimization steps.
+            crop_steps: steps of center-crop curriculum at the start.
+            report_interval: steps between train/val PSNR reports.
+            weight_decay: Adam L2 weight decay.
+            visualizers: objects with
+                ``visualize(step, render_fn, act_fn)``.
+            mesh: optional jax.sharding.Mesh with a "data" axis for
+                ray-parallel training across chips.
+            seed: RNG seed for shuffling/stratified jitter.
+            metric_logger: optional callable(name, value) — the
+                AML-run-log equivalent (ray_caster.py:354-357).
+
+        Returns:
+            (params, log) — final parameters and LogEntry list.
+        """
+        rng = jax.random.PRNGKey(seed)
+        trainval_dataset = train_dataset.sample_cameras(
+            val_dataset.num_cameras, val_dataset.num_samples, False)
+
+        dataset_mode = train_dataset.mode
+        if crop_steps:
+            train_dataset.mode = Mode.Center
+            val_dataset.mode = Mode.Center
+            trainval_dataset.mode = Mode.Center
+        else:
+            val_dataset.mode = dataset_mode
+            trainval_dataset.mode = dataset_mode
+
+        opt_state = adam_init(params)
+        if mesh is not None:
+            replicated = NamedSharding(mesh, P())
+            params = jax.device_put(params, replicated)
+            opt_state = jax.device_put(opt_state, replicated)
+
+        train_step = self._make_train_step(
+            train_dataset, batch_size, learning_rate, decay_rate,
+            decay_steps, weight_decay, mesh)
+        val_loss_fns = {}
+
+        def validate(dataset, step):
+            key = id(dataset)
+            if key not in val_loss_fns:
+                val_loss_fns[key] = self._make_loss_fn(dataset, batch_size)
+            return self._validate(params, dataset, batch_size, step,
+                                  val_loss_fns[key])
+
+        def render_image_fn(samples: RaySamples, include_depth: bool):
+            return self.batched_render(params, samples, batch_size,
+                                       include_depth)
+
+        def render_act_fn(sampler: RaySampler, camera: int):
+            return self.render_activations(params, sampler, camera,
+                                           batch_size,
+                                           train_dataset.color_space)
+
+        log: List[LogEntry] = []
+        step = 0
+        epoch_rng = rng
+        start_time = time.time()
+
+        while step <= num_steps:
+            pool = jnp.asarray(train_dataset.index_pool())
+            epoch_rng, perm_key, strat_key = jax.random.split(epoch_rng, 3)
+            perm = jax.random.permutation(perm_key, pool)
+            num_batches = len(pool) // batch_size
+
+            restart_epoch = False
+            for batch_num in range(num_batches):
+                if step > num_steps or restart_epoch:
+                    break
+                params, opt_state, loss = train_step(
+                    params, opt_state, perm,
+                    jnp.asarray(batch_num * batch_size, jnp.int32),
+                    jnp.asarray(step, jnp.int32), strat_key)
+
+                if step < 10 or step % report_interval == 0:
+                    train_psnr = validate(trainval_dataset, step)
+                    val_psnr = validate(val_dataset, step)
+                    current_time = time.time()
+                    time_per_step = ((current_time - start_time) / step
+                                     if step >= report_interval else 0)
+                    print("{:07}".format(step),
+                          "{:2f} s/step".format(time_per_step),
+                          "psnr_train: {:2f}".format(train_psnr),
+                          "val_psnr: {:2f}".format(val_psnr))
+                    if metric_logger:
+                        metric_logger("psnr_train", train_psnr)
+                        metric_logger("psnr_val", val_psnr)
+                        metric_logger("time_per_step", time_per_step)
+
+                    if step % report_interval == 0:
+                        state = jax.tree.map(np.asarray, params)
+                        log.append(LogEntry(step,
+                                            current_time - start_time,
+                                            state, train_psnr, val_psnr))
+
+                    if (train_dataset.mode == Mode.Center
+                            and step >= crop_steps):
+                        print("Removing center crop...")
+                        train_dataset.mode = dataset_mode
+                        val_dataset.mode = dataset_mode
+                        trainval_dataset.mode = dataset_mode
+                        step += 1
+                        restart_epoch = True
+
+                if not restart_epoch:
+                    for visualizer in visualizers:
+                        visualizer.visualize(step, render_image_fn,
+                                             render_act_fn)
+                    step += 1
+
+        return params, log
