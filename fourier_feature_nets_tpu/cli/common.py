@@ -1,0 +1,112 @@
+"""Shared plumbing for the 3D training CLIs."""
+
+import json
+import os
+
+import numpy as np
+
+from ..datasets import ImageDataset, Mode
+from ..models import load_model
+from ..parallel import make_mesh
+from ..visualizers import EvaluationVisualizer, OrbitVideoVisualizer
+
+
+def add_common_train_args(parser):
+    """Arguments shared by the voxel/tiny-NeRF/NeRF trainers."""
+    parser.add_argument("--mode", choices=["rgba", "rgb", "dilate"],
+                        default="rgba")
+    parser.add_argument("--batch-size", type=int, default=1024)
+    parser.add_argument("--report-interval", type=int, default=1000)
+    parser.add_argument("--image-interval", type=int, default=2000)
+    parser.add_argument("--seed", type=int, default=20080524)
+    parser.add_argument("--make-video", action="store_true")
+    parser.add_argument("--color-space", choices=["YCrCb", "RGB"],
+                        default="RGB")
+    parser.add_argument("--num-frames", type=int, default=200)
+    parser.add_argument("--anneal-start", type=float, default=0.2)
+    parser.add_argument("--num-anneal-steps", type=int, default=2000)
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="Shard the ray batch across all devices")
+    parser.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
+                        default="float32",
+                        help="Matmul dtype for the model body")
+
+
+def load_opacity(path, args):
+    """Loads an optional opacity model checkpoint."""
+    if not path:
+        return None, None
+    model, params = load_model(path)
+    return model, params
+
+
+def load_train_val(args, opacity_model=None, opacity_params=None,
+                   num_samples=None):
+    """Loads train (stratified) and val datasets per the reference CLIs."""
+    include_alpha = args.mode == "rgba"
+    num_samples = num_samples or args.num_samples
+    train = ImageDataset.load(args.data_path, "train", num_samples,
+                              include_alpha, True, opacity_model,
+                              opacity_params, args.batch_size,
+                              args.color_space,
+                              anneal_start=args.anneal_start,
+                              num_anneal_steps=args.num_anneal_steps)
+    val = ImageDataset.load(args.data_path, "val", num_samples,
+                            include_alpha, False, opacity_model,
+                            opacity_params, args.batch_size,
+                            args.color_space)
+    if train is not None and args.mode == "dilate":
+        train.mode = Mode.Dilate
+    return train, val
+
+
+def make_visualizers(args, train_dataset, val_dataset, num_samples=None):
+    """Builds the per-run visualizers (train_voxels.py:74-95 pattern)."""
+    num_samples = num_samples or args.num_samples
+    if args.make_video:
+        resolution = train_dataset.cameras[0].resolution
+        return [OrbitVideoVisualizer(args.results_dir, args.num_steps,
+                                     resolution, args.num_frames,
+                                     num_samples, args.color_space)]
+    return [EvaluationVisualizer(args.results_dir, train_dataset,
+                                 args.image_interval),
+            EvaluationVisualizer(args.results_dir, val_dataset,
+                                 args.image_interval)]
+
+
+def get_mesh(args):
+    """Data-parallel mesh over all devices, or None."""
+    return make_mesh() if args.data_parallel else None
+
+
+def get_compute_dtype(args):
+    import jax.numpy as jnp
+    return jnp.bfloat16 if args.compute_dtype == "bfloat16" else None
+
+
+def write_run_log(path, args, log):
+    """JSON args header + TSV of LogEntry rows (train_voxels.py:111-119)."""
+    with open(path, "w") as file:
+        json.dump({k: v for k, v in vars(args).items()
+                   if isinstance(v, (int, float, str, bool, type(None)))},
+                  file)
+        file.write("\n\n")
+        file.write("\t".join(["step", "timestamp", "psnr_train",
+                              "psnr_val"]) + "\n")
+        for entry in log:
+            file.write("\t".join(str(v) for v in [
+                entry.step, entry.timestamp, entry.train_psnr,
+                entry.val_psnr]) + "\n")
+
+
+def resolve_data_path(path: str) -> str:
+    """Resolves a dataset path; 'synthetic[:<res>]' generates the
+    built-in synthetic scene (air-gapped replacement for downloads)."""
+    if path.startswith("synthetic"):
+        from ..datasets.synthetic import load_or_generate
+        from ..utils.assets import default_data_dir
+        parts = path.split(":")
+        res = int(parts[1]) if len(parts) > 1 else 100
+        out = os.path.join(default_data_dir(), f"synthetic_{res}.npz")
+        return load_or_generate(out, resolution=res)
+    return path

@@ -1,0 +1,91 @@
+"""CLI: renders an orbit video of a trained model.
+
+TPU re-design of /root/reference/orbit_video.py: per-frame rendering
+runs through one compiled chunked render executable; the model itself
+serves as its own opacity model for focus sampling by default
+(orbit_video.py:69-73).
+"""
+
+import os
+from argparse import ArgumentDefaultsHelpFormatter, ArgumentParser
+
+import numpy as np
+
+from ..cameras import Resolution
+from ..models import load_model
+from ..render import Raycaster, RaySampler
+from ..utils import ETABar, orbit
+
+VECTORS = {
+    "x+": np.array([1, 0, 0], np.float32),
+    "x-": np.array([-1, 0, 0], np.float32),
+    "y+": np.array([0, 1, 0], np.float32),
+    "y-": np.array([0, -1, 0], np.float32),
+    "z+": np.array([0, 0, 1], np.float32),
+    "z-": np.array([0, 0, -1], np.float32),
+}
+
+
+def _parse_args(argv=None):
+    parser = ArgumentParser("Orbit Video Maker",
+                            formatter_class=ArgumentDefaultsHelpFormatter)
+    parser.add_argument("model_path", help="Path to the trained model")
+    parser.add_argument("resolution", type=int)
+    parser.add_argument("output_dir")
+    parser.add_argument("--opacity-model")
+    parser.add_argument("--distance", type=float, default=4)
+    parser.add_argument("--fov-y-degrees", type=float, default=40)
+    parser.add_argument("--num-frames", type=int, default=200)
+    parser.add_argument("--up-dir", default="y+", choices=sorted(VECTORS))
+    parser.add_argument("--forward-dir", default="z-",
+                        choices=sorted(VECTORS))
+    parser.add_argument("--num-samples", type=int, default=128)
+    parser.add_argument("--batch-size", type=int, default=4096)
+    parser.add_argument("--no-focus", action="store_true",
+                        help="Disable opacity-guided focus sampling")
+    parser.add_argument("--compute-dtype",
+                        choices=["float32", "bfloat16"],
+                        default="float32")
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    import cv2
+    import jax.numpy as jnp
+
+    args = _parse_args(argv)
+    orbit_cameras = orbit(VECTORS[args.up_dir], VECTORS[args.forward_dir],
+                          args.num_frames, args.fov_y_degrees,
+                          Resolution(args.resolution, args.resolution),
+                          args.distance)
+    bounds = np.diag([2.0, 2.0, 2.0, 1.0]).astype(np.float32)
+
+    model, params = load_model(args.model_path)
+    if args.opacity_model:
+        opacity_model, opacity_params = load_model(args.opacity_model)
+    elif not args.no_focus:
+        opacity_model, opacity_params = model, params
+    else:
+        opacity_model = opacity_params = None
+
+    compute_dtype = (jnp.bfloat16 if args.compute_dtype == "bfloat16"
+                     else None)
+    raycaster = Raycaster(model, compute_dtype=compute_dtype)
+    sampler = RaySampler(bounds, orbit_cameras, args.num_samples, False,
+                         opacity_model, opacity_params, args.batch_size)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    progress = ETABar("Rendering", max=args.num_frames)
+    for frame in range(args.num_frames):
+        progress.next()
+        image = raycaster.render_image(params, sampler, frame,
+                                       args.batch_size)
+        path = os.path.join(args.output_dir,
+                            "frame_{:05d}.png".format(frame))
+        cv2.imwrite(path, cv2.cvtColor(image, cv2.COLOR_RGB2BGR))
+    progress.finish()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

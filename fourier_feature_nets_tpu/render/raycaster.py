@@ -309,7 +309,11 @@ class Raycaster:
         opt_state = adam_init(params)
         if mesh is not None:
             replicated = NamedSharding(mesh, P())
-            params = jax.device_put(params, replicated)
+            # copy first: device_put may alias compatible buffers and
+            # the train step donates them — without the copy the
+            # caller's params arrays would be deleted.
+            params = jax.device_put(jax.tree.map(jnp.copy, params),
+                                    replicated)
             opt_state = jax.device_put(opt_state, replicated)
 
         train_step = self._make_train_step(
