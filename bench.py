@@ -4,11 +4,17 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Headline metric: NeRF render throughput in rays/second on one chip
-(the orbit_video.py path: 128 samples/ray through the full 8x256
-view-dependent NeRF). Baseline anchor: the BASELINE.json north star of
-800x800 @ 20 FPS on a v5e-8 = 12.8M rays/s, i.e. 1.6M rays/s/chip;
-vs_baseline = measured_per_chip / 1.6e6. Diagnostics (train step
-throughput, f32 vs bf16) go to stderr.
+through the Pallas fused kernel (the orbit_video.py path: 128
+samples/ray through the full 8x256 view-dependent NeRF). Baseline
+anchor: the BASELINE.json north star of 800x800 @ 20 FPS on a v5e-8 =
+12.8M rays/s, i.e. 1.6M rays/s/chip; vs_baseline = measured /
+1.6e6. Diagnostics go to stderr.
+
+Timing methodology (important on remote/tunneled TPU runtimes where
+``block_until_ready`` can return before execution): every iteration is
+CHAINED through a scalar carry so no call can be elided or reordered,
+inputs are generated on device (no host transfers), and one tiny
+scalar fetch at the end forces the full chain.
 """
 
 import json
@@ -18,15 +24,15 @@ import time
 import numpy as np
 
 
-def _time_fn(fn, *args, warmup=2, iters=10):
-    import jax
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+def _bench_chain(fn, *args, iters=10):
+    """Mean seconds/call via a dependency-chained loop."""
+    import jax.numpy as jnp
+    carry = fn(*args, jnp.float32(0.0))
+    float(carry)  # warmup + compile
     start = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        carry = fn(*args, carry)
+    float(carry)  # force the chain
     return (time.perf_counter() - start) / iters
 
 
@@ -35,8 +41,15 @@ def main():
     import jax.numpy as jnp
 
     from fourier_feature_nets_tpu.models import NeRF
+    from fourier_feature_nets_tpu.ops.fused_nerf import (
+        fused_nerf_apply,
+        prepare_fused_nerf,
+    )
     from fourier_feature_nets_tpu.render.ray_sampler import RaySamples
-    from fourier_feature_nets_tpu.render.raycaster import Raycaster
+    from fourier_feature_nets_tpu.render.raycaster import (
+        Raycaster,
+        _composite,
+    )
     from fourier_feature_nets_tpu.utils import adam_init, adam_update
 
     device = jax.devices()[0]
@@ -51,81 +64,88 @@ def main():
     render_rays = 16384
     train_rays = 1024
 
-    rng = np.random.default_rng(0)
-
-    def make_ray_batch(num_rays):
-        t = np.sort(rng.uniform(1.0, 4.0, (num_rays, num_samples))
-                    .astype(np.float32), -1)
-        d = rng.normal(size=(num_rays, 3)).astype(np.float32)
-        d /= np.linalg.norm(d, axis=-1, keepdims=True)
-        s = rng.uniform(-1, 1, (num_rays, 3)).astype(np.float32)
-        pos = (s[:, None] + t[..., None] * d[:, None]).astype(np.float32)
-        views = np.ascontiguousarray(np.broadcast_to(d[:, None], pos.shape))
-        return (jnp.asarray(pos), jnp.asarray(views), jnp.asarray(t))
+    @jax.jit
+    def make_rays(key, num_rays):
+        k1, k2, k3 = jax.random.split(key, 3)
+        t = jnp.sort(jax.random.uniform(k1, (num_rays, num_samples),
+                                        jnp.float32, 1.0, 4.0), -1)
+        d = jax.random.normal(k2, (num_rays, 3), jnp.float32)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        s = jax.random.uniform(k3, (num_rays, 3), jnp.float32, -1, 1)
+        pos = s[:, None] + t[..., None] * d[:, None]
+        views = jnp.broadcast_to(d[:, None], pos.shape)
+        return pos, views, t
 
     results = {}
-    for name, dtype in (("f32", None), ("bf16", jnp.bfloat16)):
-        caster = Raycaster(model, compute_dtype=dtype)
+    key = jax.random.PRNGKey(0)
 
-        @jax.jit
-        def render_fn(params, pos, views, t):
-            samples = RaySamples(pos, views, t, None)
-            out = caster.render(params, samples, include_depth=False)
-            return out.color, out.alpha
+    # --- render: fused Pallas kernel (bf16) ---
+    weights = prepare_fused_nerf(model, params, dtype=jnp.bfloat16)
+    pos, views, t = make_rays(key, render_rays)
 
-        batch = make_ray_batch(render_rays)
-        dt = _time_fn(render_fn, params, *batch)
-        results[f"render_rays_per_sec_{name}"] = render_rays / dt
-        print(f"render {name}: {render_rays / dt / 1e6:.3f} Mrays/s "
-              f"({dt * 1e3:.2f} ms / {render_rays} rays)", file=sys.stderr)
+    @jax.jit
+    def render_fused(pos, views, t, carry):
+        flat = fused_nerf_apply(model, weights, pos.reshape(-1, 3)
+                                + carry * 0.0, views.reshape(-1, 3))
+        out = _composite(flat.reshape(render_rays, num_samples, 4), t,
+                         False)
+        return jnp.sum(out.color) * 1e-9
 
-        # training step (render + loss + grads + clipped Adam)
-        opt_state = adam_init(params)
-        target_color = jnp.asarray(
-            rng.uniform(0, 1, (train_rays, 3)).astype(np.float32))
-        target_alpha = jnp.asarray(
-            (rng.uniform(0, 1, train_rays) > 0.5).astype(np.float32))
+    dt = _bench_chain(render_fused, pos, views, t)
+    results["render_fused_bf16"] = render_rays / dt
+    print(f"render fused bf16: {dt * 1e3:.2f} ms, "
+          f"{render_rays / dt / 1e6:.3f} Mrays/s", file=sys.stderr)
 
-        @jax.jit
-        def train_step(params, opt_state, pos, views, t):
-            samples = RaySamples(pos, views, t, None)
+    # --- render: plain XLA path (bf16 body) ---
+    caster_bf16 = Raycaster(model, compute_dtype=jnp.bfloat16)
 
-            def loss_fn(p):
-                out = caster.render(p, samples, include_depth=False)
-                return (jnp.mean(jnp.square(out.color - target_color))
-                        + 0.1 * jnp.mean(jnp.square(out.alpha
-                                                    - target_alpha)))
+    @jax.jit
+    def render_xla(pos, views, t, carry):
+        samples = RaySamples(pos + carry * 0.0, views, t, None)
+        out = caster_bf16.render(params, samples, include_depth=False)
+        return jnp.sum(out.color) * 1e-9
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            params, opt_state = adam_update(grads, opt_state, params,
-                                            5e-4, weight_decay=1e-6,
-                                            clip_value=0.1, clip_norm=0.1)
-            return params, opt_state, loss
+    dt = _bench_chain(render_xla, pos, views, t)
+    results["render_xla_bf16"] = render_rays / dt
+    print(f"render xla bf16:   {dt * 1e3:.2f} ms, "
+          f"{render_rays / dt / 1e6:.3f} Mrays/s", file=sys.stderr)
 
-        tbatch = make_ray_batch(train_rays)
-        p = jax.tree.map(jnp.copy, params)
+    # --- training step (bf16 body, full clipped-Adam update) ---
+    tpos, tviews, tt = make_rays(jax.random.fold_in(key, 1), train_rays)
+    opt_state = adam_init(params)
 
-        def step_once(p, o, *b):
-            return train_step(p, o, *b)
+    @jax.jit
+    def train_step(params, opt_state, pos, views, t, carry):
+        samples = RaySamples(pos + carry * 0.0, views, t, None)
+        target = jnp.ones((train_rays, 3)) * 0.5
 
-        # time without donation side effects: rebuild state each iter
-        for _ in range(2):
-            out = train_step(p, opt_state, *tbatch)
-        jax.block_until_ready(out)
-        iters = 20
-        start = time.perf_counter()
-        pp, oo = p, opt_state
-        for _ in range(iters):
-            pp, oo, loss = train_step(pp, oo, *tbatch)
-        jax.block_until_ready((pp, loss))
-        dt_train = (time.perf_counter() - start) / iters
-        results[f"train_steps_per_sec_{name}"] = 1.0 / dt_train
-        print(f"train {name}: {1.0 / dt_train:.2f} steps/s "
-              f"({dt_train * 1e3:.2f} ms/step, batch {train_rays}x"
-              f"{num_samples})", file=sys.stderr)
+        def loss_fn(p):
+            out = caster_bf16.render(p, samples, include_depth=False)
+            return jnp.mean(jnp.square(out.color - target))
 
-    headline = results["render_rays_per_sec_bf16"]
-    per_chip_target = 12.8e6 / 8  # north-star: 800^2 @ 20FPS on v5e-8
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt_state = adam_update(grads, opt_state, params, 5e-4,
+                                        weight_decay=1e-6,
+                                        clip_value=0.1, clip_norm=0.1)
+        return params, opt_state, loss
+
+    p, o, loss = train_step(params, opt_state, tpos, tviews, tt,
+                            jnp.float32(0.0))
+    float(loss)
+    start = time.perf_counter()
+    iters = 20
+    for _ in range(iters):
+        p, o, loss = train_step(p, o, tpos, tviews, tt, loss)
+    float(loss)
+    dt_train = (time.perf_counter() - start) / iters
+    results["train_steps_per_sec"] = 1.0 / dt_train
+    print(f"train bf16: {1.0 / dt_train:.2f} steps/s "
+          f"({dt_train * 1e3:.2f} ms/step, batch {train_rays}x"
+          f"{num_samples}) -> 50k steps in "
+          f"{50000 * dt_train / 60:.1f} min", file=sys.stderr)
+
+    headline = results["render_fused_bf16"]
+    per_chip_target = 12.8e6 / 8  # north star: 800^2 @ 20 FPS on v5e-8
     print(json.dumps({
         "metric": "nerf_render_rays_per_sec_per_chip",
         "value": round(headline, 1),

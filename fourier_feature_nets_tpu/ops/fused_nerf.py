@@ -1,0 +1,415 @@
+"""Pallas fused NeRF forward kernel (TPU render fast path).
+
+The XLA-compiled NeRF forward materializes every layer's activations
+in HBM (a (N, 256) tensor per layer — ~1 GB per 2M-point render
+batch). This kernel runs the ENTIRE pipeline — Fourier encode,
+skip-MLP body, opacity/bottleneck/view/color heads — on a tile of
+points inside VMEM: weights (~1.3 MB bf16) stay VMEM-resident across
+the grid and only the (N, 6) inputs and (N, 4) outputs touch HBM.
+
+Performance-critical layout choices:
+  * NO concatenation buffers: every concat in the reference
+    formulation ([h, encoded], [bottleneck, view-feats]) is rewritten
+    as a SUM OF SPLIT MATMULS (x @ [A; B] == x_a @ A + x_b @ B), so
+    activations flow value-to-value without relayout stores.
+  * the K=3 encode matmuls run as three VPU broadcast multiply-adds
+    in f32 (phase accuracy at frequencies up to 2**max_log_scale —
+    see ops/encoding.py).
+  * bf16 storage + f32 MXU accumulation by default.
+
+Inference-only (no VJP) — training uses the XLA autodiff path.
+"""
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["FusedNeRFWeights", "prepare_fused_nerf", "fused_nerf_apply"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+class FusedNeRFWeights(NamedTuple):
+    """Split/cast weights for the fused kernel.
+
+    Each logical layer whose input is a concatenation is stored as the
+    per-part weight blocks; biases stay f32.
+    """
+
+    pos_enc: jnp.ndarray       # (3, E_pos) f32
+    view_enc: jnp.ndarray      # (3, E_view) f32
+    first_parts: tuple         # (cos, sin[, raw]) blocks of layer 0
+    first_b: jnp.ndarray
+    mid_w: tuple               # plain 256x256 body layers
+    mid_b: tuple
+    skip_parts: tuple          # per skip layer: (h, cos, sin[, raw])
+    skip_b: tuple
+    skip_positions: tuple      # indices (into the body) of skip layers
+    opacity_w: jnp.ndarray     # (256, 8), col 0 live
+    opacity_b: jnp.ndarray
+    bottleneck_w: jnp.ndarray
+    bottleneck_b: jnp.ndarray
+    hidden_parts: tuple        # (bottleneck, cos, sin[, raw])
+    hidden_b: jnp.ndarray
+    color_w: jnp.ndarray       # (H, 8), cols 0..2 live
+    color_b: jnp.ndarray
+
+
+def _split_rows(w: np.ndarray, sizes):
+    out = []
+    start = 0
+    for size in sizes:
+        out.append(w[start:start + size])
+        start += size
+    assert start == w.shape[0]
+    return out
+
+
+def _doubling_permutation(num_freq: int, raw: bool) -> np.ndarray:
+    """Row permutation from the reference encode layout
+    [cos(f-major,a-minor) | sin(...) | raw] to the double-angle
+    kernel layout [c0, s0, c1, s1, ... | raw]."""
+    perm = []
+    for k in range(num_freq):
+        perm.extend(range(3 * k, 3 * k + 3))                   # cos_k
+        perm.extend(range(3 * num_freq + 3 * k,
+                          3 * num_freq + 3 * k + 3))           # sin_k
+    if raw:
+        base = 6 * num_freq
+        perm.extend(range(base, base + 3))
+    return np.asarray(perm)
+
+
+def _can_double(max_log_scale: float, num_freq: int) -> bool:
+    """True when frequencies are consecutive powers of two
+    (2**linspace(0, mls, nf) with unit steps), enabling the
+    double-angle recursion."""
+    return num_freq == 1 or float(max_log_scale) == float(num_freq - 1)
+
+
+def prepare_fused_nerf(model, params, dtype=jnp.bfloat16,
+                       use_doubling: bool = False) -> FusedNeRFWeights:
+    """Splits and casts a NeRF param pytree for the fused kernel.
+
+    ``use_doubling`` selects the double-angle encode (fewer
+    transcendentals but lane-unaligned concats, measured slower on
+    v5e — kept for other hardware/configs).
+    """
+    e_pos = model.pos_encoding.shape[1]
+    e_view = model.view_encoding.shape[1]
+    enc_sizes = [e_pos, e_pos] + ([3] if model.include_inputs else [])
+
+    def cast(w):
+        return jnp.asarray(np.asarray(w), dtype)
+
+    def bias(b):
+        return jnp.asarray(np.asarray(b)[None], jnp.float32)
+
+    def pad_cols(w, cols):
+        w = np.asarray(w)
+        out = np.zeros((w.shape[0], cols), np.float32)
+        out[:, :w.shape[1]] = w
+        return jnp.asarray(out, dtype)
+
+    def pad_bias(b, cols):
+        b = np.asarray(b)
+        out = np.zeros((1, cols), np.float32)
+        out[0, :b.shape[0]] = b
+        return jnp.asarray(out, jnp.float32)
+
+    # double-angle fast path: when frequencies are consecutive powers
+    # of two, the kernel computes only the base sin/cos and doubles
+    # up, assembling features in [c0, s0, c1, s1, ... raw] order — the
+    # weight rows are permuted here to match, and the whole encode
+    # collapses into ONE matmul part.
+    pos_double = use_doubling and _can_double(model.max_log_scale_pos,
+                                              model.num_freq_pos)
+    view_double = use_doubling and _can_double(model.max_log_scale_view,
+                                               model.num_freq_view)
+
+    def enc_parts(w_enc, num_freq, doubled):
+        if doubled:
+            perm = _doubling_permutation(num_freq, model.include_inputs)
+            return (cast(w_enc[perm]),)
+        return tuple(cast(p) for p in _split_rows(w_enc, enc_sizes))
+
+    first_parts = None
+    mid_w, mid_b = [], []
+    skip_parts, skip_b, skip_positions = [], [], []
+    for i, layer in enumerate(params["layers"]):
+        w = np.asarray(layer["weight"])
+        if i == 0:
+            first_parts = enc_parts(w, model.num_freq_pos, pos_double)
+            first_b = bias(layer["bias"])
+        elif i in model.skips:
+            h_part, w_enc = w[:model.num_channels], w[model.num_channels:]
+            skip_parts.append(
+                (cast(h_part),)
+                + enc_parts(w_enc, model.num_freq_pos, pos_double))
+            skip_b.append(bias(layer["bias"]))
+            skip_positions.append(i)
+        else:
+            mid_w.append(cast(w))
+            mid_b.append(bias(layer["bias"]))
+
+    hidden_w = np.asarray(params["hidden_view"]["weight"])
+    if view_double:
+        perm = _doubling_permutation(model.num_freq_view,
+                                     model.include_inputs)
+        hidden_parts = (cast(hidden_w[:model.num_channels]),
+                        cast(hidden_w[model.num_channels:][perm]))
+    else:
+        view_sizes = [model.num_channels, e_view, e_view] + (
+            [3] if model.include_inputs else [])
+        hidden_parts = tuple(cast(p) for p in _split_rows(hidden_w,
+                                                          view_sizes))
+
+    return FusedNeRFWeights(
+        pos_enc=jnp.asarray(np.asarray(model.pos_encoding), jnp.float32),
+        view_enc=jnp.asarray(np.asarray(model.view_encoding),
+                             jnp.float32),
+        first_parts=first_parts, first_b=first_b,
+        mid_w=tuple(mid_w), mid_b=tuple(mid_b),
+        skip_parts=tuple(skip_parts), skip_b=tuple(skip_b),
+        skip_positions=tuple(skip_positions),
+        opacity_w=pad_cols(params["opacity_out"]["weight"], 8),
+        opacity_b=pad_bias(params["opacity_out"]["bias"], 8),
+        bottleneck_w=cast(params["bottleneck"]["weight"]),
+        bottleneck_b=bias(params["bottleneck"]["bias"]),
+        hidden_parts=hidden_parts,
+        hidden_b=bias(params["hidden_view"]["bias"]),
+        color_w=pad_cols(params["color_out"]["weight"], 8),
+        color_b=pad_bias(params["color_out"]["bias"], 8))
+
+
+def _phases(x, enc_ref):
+    """(tile, 3) @ (3, E) on the VPU in f32: three broadcast FMAs."""
+    enc = enc_ref[:]
+    return (x[:, 0:1] * enc[0][None, :]
+            + x[:, 1:2] * enc[1][None, :]
+            + x[:, 2:3] * enc[2][None, :])
+
+
+def _fast_sincos(x):
+    """sin and cos with one shared range reduction + Taylor tails.
+
+    Rendering-grade accuracy (~1e-5 over |x| <= ~1e4): the phases here
+    are bounded by 2**max_log_scale * |coord|. Much cheaper than two
+    full-precision transcendental calls: one round + ~16 shared FMAs.
+    """
+    two_pi = 6.283185307179586
+    f = x * (1.0 / two_pi)
+    f = f - jnp.round(f)          # [-0.5, 0.5]
+    t = f * two_pi                # [-pi, pi]
+    t2 = t * t
+    # Taylor coefficients 1/(2k)! and 1/(2k+1)! as float literals
+    cos = 1.0 + t2 * (-0.5 + t2 * (
+        4.1666666666666664e-2 + t2 * (-1.3888888888888889e-3 + t2 * (
+            2.4801587301587302e-5 + t2 * (-2.7557319223985893e-7
+                                          + t2 * (2.08767569878681e-9
+                                                  - t2 * 1.1470745597729725e-11))))))
+    sin = t * (1.0 + t2 * (-1.6666666666666666e-1 + t2 * (
+        8.3333333333333332e-3 + t2 * (-1.9841269841269841e-4 + t2 * (
+            2.7557319223985893e-6 + t2 * (-2.5052108385441720e-8
+                                          + t2 * 1.6059043836821613e-10))))))
+    return sin, cos
+
+
+def _doubled_features(x, num_freq, include_inputs, compute_dtype):
+    """[cos(x), sin(x), cos(2x), sin(2x), ... raw] via double-angle
+    recursion: 6 transcendentals per point instead of 2*3*num_freq.
+
+    f32 throughout; the recursion's relative error grows only
+    linearly in the number of doublings (~1e-6 at 9 levels)."""
+    c = jnp.cos(x)
+    s = jnp.sin(x)
+    pieces = []
+    for _ in range(num_freq):
+        pieces.append(c)
+        pieces.append(s)
+        c, s = 2.0 * c * c - 1.0, 2.0 * s * c
+    if include_inputs:
+        pieces.append(x)
+    return jnp.concatenate(pieces, axis=-1).astype(compute_dtype)
+
+
+def _dot(a, w_ref):
+    return jax.lax.dot_general(a, w_ref[:], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _kernel(config, positions_ref, views_ref, pos_enc_ref, view_enc_ref,
+            *refs):
+    (num_layers, skip_positions, include_inputs, num_mid,
+     pos_enc_parts, view_enc_parts, pos_double, view_double,
+     num_freq_pos, num_freq_view, compute_dtype) = config
+
+    # unpack flat refs in the order _fused_call packed them
+    it = iter(refs)
+
+    def take(n):
+        return [next(it) for _ in range(n)]
+
+    first_parts = take(pos_enc_parts)
+    (first_b,) = take(1)
+    mid_w = take(num_mid)
+    mid_b = take(num_mid)
+    num_skips = len(skip_positions)
+    skip_parts = [take(1 + pos_enc_parts) for _ in range(num_skips)]
+    skip_b = take(num_skips)
+    (opacity_w, opacity_b, bottleneck_w, bottleneck_b) = take(4)
+    hidden_parts = take(1 + view_enc_parts)
+    (hidden_b, color_w, color_b, out_ref) = take(4)
+
+    pos = positions_ref[:]
+    views = views_ref[:]
+
+    if pos_double:
+        enc = [_doubled_features(pos, num_freq_pos, include_inputs,
+                                 compute_dtype)]
+    else:
+        sin, cos = _fast_sincos(_phases(pos, pos_enc_ref))
+        enc = [cos.astype(compute_dtype), sin.astype(compute_dtype)]
+        if include_inputs:
+            enc.append(pos.astype(compute_dtype))
+
+    def enc_dot(parts):
+        acc = _dot(enc[0], parts[0])
+        for feat, w_ref in zip(enc[1:], parts[1:]):
+            acc += _dot(feat, w_ref)
+        return acc
+
+    h = jnp.maximum(enc_dot(first_parts) + first_b[:], 0.0)
+    h = h.astype(compute_dtype)
+
+    mid_iter = 0
+    skip_iter = 0
+    for i in range(1, num_layers):
+        if i in skip_positions:
+            parts = skip_parts[skip_iter]
+            acc = _dot(h, parts[0]) + enc_dot(parts[1:])
+            acc += skip_b[skip_iter][:]
+            skip_iter += 1
+        else:
+            acc = _dot(h, mid_w[mid_iter]) + mid_b[mid_iter][:]
+            mid_iter += 1
+        h = jnp.maximum(acc, 0.0).astype(compute_dtype)
+
+    opacity = _dot(h, opacity_w) + opacity_b[:]
+    bottleneck = (_dot(h, bottleneck_w)
+                  + bottleneck_b[:]).astype(compute_dtype)
+
+    if view_double:
+        venc = [_doubled_features(views, num_freq_view, include_inputs,
+                                  compute_dtype)]
+    else:
+        v_sin, v_cos = _fast_sincos(_phases(views, view_enc_ref))
+        venc = [v_cos.astype(compute_dtype),
+                v_sin.astype(compute_dtype)]
+        if include_inputs:
+            venc.append(views.astype(compute_dtype))
+
+    acc = _dot(bottleneck, hidden_parts[0])
+    for feat, w_ref in zip(venc, hidden_parts[1:]):
+        acc += _dot(feat, w_ref)
+    hidden = jnp.maximum(acc + hidden_b[:], 0.0).astype(compute_dtype)
+    color = _dot(hidden, color_w) + color_b[:]
+
+    out_ref[:] = jnp.concatenate([color[:, :3], opacity[:, :1]], -1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("model_static", "tile", "interpret"))
+def _fused_call(model_static, weights: FusedNeRFWeights,
+                positions: jnp.ndarray, views: jnp.ndarray,
+                tile: int = 2048, interpret: bool = False):
+    (num_layers, skip_positions, include_inputs, num_freq_pos,
+     num_freq_view, pos_double, view_double, dtype_name) = model_static
+    compute_dtype = jnp.dtype(dtype_name)
+    num = positions.shape[0]
+    assert num % tile == 0
+
+    config = (num_layers, skip_positions, include_inputs,
+              len(weights.mid_w), len(weights.first_parts),
+              len(weights.hidden_parts) - 1, pos_double, view_double,
+              num_freq_pos, num_freq_view, compute_dtype)
+
+    weight_inputs = (list(weights.first_parts) + [weights.first_b]
+                     + list(weights.mid_w) + list(weights.mid_b))
+    for parts in weights.skip_parts:
+        weight_inputs.extend(parts)
+    weight_inputs.extend(weights.skip_b)
+    weight_inputs.extend([weights.opacity_w, weights.opacity_b,
+                          weights.bottleneck_w, weights.bottleneck_b])
+    weight_inputs.extend(weights.hidden_parts)
+    weight_inputs.extend([weights.hidden_b, weights.color_w,
+                          weights.color_b])
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((tile, 3), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, 3), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        const_spec(weights.pos_enc.shape),
+        const_spec(weights.view_enc.shape),
+    ] + [const_spec(w.shape) for w in weight_inputs]
+
+    return pl.pallas_call(
+        functools.partial(_kernel, config),
+        grid=(num // tile,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile, 4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num, 4), jnp.float32),
+        interpret=interpret,
+    )(positions, views, weights.pos_enc, weights.view_enc,
+      *weight_inputs)
+
+
+def fused_nerf_apply(model, weights: FusedNeRFWeights,
+                     positions: jnp.ndarray, views: jnp.ndarray,
+                     tile: int = 2048,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Fused NeRF forward: (N, 3) positions + views -> (N, 4) logits.
+
+    ``N`` is padded internally to a multiple of ``tile``. Inference
+    only (no VJP) — use ``model.apply`` for training.
+    """
+    dtype = weights.mid_w[0].dtype if weights.mid_w else (
+        weights.bottleneck_w.dtype)
+    pos_double = (len(weights.first_parts) == 1)
+    view_double = (len(weights.hidden_parts) == 2)
+    model_static = (model.num_layers, tuple(sorted(model.skips)),
+                    model.include_inputs, model.num_freq_pos,
+                    model.num_freq_view, pos_double, view_double,
+                    str(dtype))
+
+    num = positions.shape[0]
+    padded = _round_up(num, tile)
+    if padded != num:
+        positions = jnp.pad(positions, ((0, padded - num), (0, 0)))
+        views = jnp.pad(views, ((0, padded - num), (0, 0)))
+    # no Mosaic backend off-TPU: fall back to the Pallas interpreter
+    # (honor an explicit jax_default_device override, e.g. CPU tests)
+    default_device = jax.config.jax_default_device
+    if default_device is not None:
+        on_tpu = default_device.platform == "tpu"
+    else:
+        on_tpu = jax.default_backend() == "tpu"
+    interpret = interpret or not on_tpu
+    out = _fused_call(model_static, weights,
+                      positions.astype(jnp.float32),
+                      views.astype(jnp.float32), tile=tile,
+                      interpret=interpret)
+    return out[:num]

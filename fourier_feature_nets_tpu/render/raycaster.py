@@ -30,11 +30,36 @@ from ..utils.progress import LogEntry
 __all__ = ["Raycaster"]
 
 
+def _composite(color_o: jnp.ndarray, t_values: jnp.ndarray,
+               include_depth: bool) -> RenderResult:
+    """Emission-absorption compositing of raw model logits
+    (ray_caster.py:68-93 semantics)."""
+    num_samples = t_values.shape[-1]
+    color = jax.nn.sigmoid(color_o[..., :3])
+    opacity = jax.nn.softplus(color_o[..., 3])
+
+    weights = calculate_blend_weights(t_values, opacity)
+    output_color = jnp.sum(weights[..., None] * color, axis=-2)
+    leading = weights[..., :-1]
+    output_alpha = jnp.sum(leading, axis=-1)
+
+    if include_depth:
+        cutoff = jnp.argmax(leading, axis=-1)
+        cutoff = jnp.where(output_alpha < 0.1, num_samples - 1, cutoff)
+        output_depth = jnp.take_along_axis(
+            t_values, cutoff[:, None], axis=-1)[:, 0]
+    else:
+        output_depth = None
+
+    return RenderResult(output_color, output_alpha, output_depth)
+
+
 class Raycaster:
     """Volumetric raycaster: renders rays through a radiance field and
     fits the field to a ray dataset."""
 
-    def __init__(self, model: Model, compute_dtype=None):
+    def __init__(self, model: Model, compute_dtype=None,
+                 fused: bool = False):
         """Constructor.
 
         Args:
@@ -42,10 +67,29 @@ class Raycaster:
             compute_dtype: optional matmul dtype for the model's MLP
                 body (e.g. jnp.bfloat16 for MXU speed); None keeps
                 full f32 parity.
+            fused: use the Pallas fused forward kernel for *inference*
+                renders (NeRF models only; training always uses the
+                XLA autodiff path). See ops/fused_nerf.py.
         """
         self.model = model
         self.compute_dtype = compute_dtype
         self._render_fns = {}
+        self._fused_weights = None
+        self._fused_params_id = None
+        self.fused = fused and model.model_type == "nerf"
+
+    def _get_fused_weights(self, params):
+        """Host-side fused-weight preparation, cached per params
+        object (params are immutable pytrees; training produces new
+        objects every step)."""
+        from ..ops.fused_nerf import prepare_fused_nerf
+        if self._fused_params_id != id(params):
+            dtype = (self.compute_dtype if self.compute_dtype is not None
+                     else jnp.float32)
+            self._fused_weights = prepare_fused_nerf(self.model, params,
+                                                     dtype=dtype)
+            self._fused_params_id = id(params)
+        return self._fused_weights
 
     # ------------------------------------------------------------------
     # rendering (pure / jit-safe)
@@ -71,35 +115,38 @@ class Raycaster:
                                        compute_dtype=self.compute_dtype)
 
         color_o = color_o.reshape(num_rays, num_samples, 4)
-        color = jax.nn.sigmoid(color_o[..., :3])
-        opacity = jax.nn.softplus(color_o[..., 3])
-
-        weights = calculate_blend_weights(ray_samples.t_values, opacity)
-        output_color = jnp.sum(weights[..., None] * color, axis=-2)
-        leading = weights[..., :-1]
-        output_alpha = jnp.sum(leading, axis=-1)
-
-        if include_depth:
-            cutoff = jnp.argmax(leading, axis=-1)
-            cutoff = jnp.where(output_alpha < 0.1, num_samples - 1, cutoff)
-            output_depth = jnp.take_along_axis(
-                ray_samples.t_values, cutoff[:, None], axis=-1)[:, 0]
-        else:
-            output_depth = None
-
-        return RenderResult(output_color, output_alpha, output_depth)
+        return _composite(color_o, ray_samples.t_values, include_depth)
 
     def _render_jit(self, include_depth: bool):
-        if include_depth not in self._render_fns:
-            @jax.jit
-            def render_fn(params, positions, view_directions, t_values):
-                samples = RaySamples(positions, view_directions, t_values,
-                                     None)
-                result = self.render(params, samples, include_depth)
-                return (result.color, result.alpha,
-                        result.depth if include_depth else result.alpha)
-            self._render_fns[include_depth] = render_fn
-        return self._render_fns[include_depth]
+        key = (include_depth, self.fused)
+        if key not in self._render_fns:
+            if self.fused:
+                from ..ops.fused_nerf import fused_nerf_apply
+
+                @jax.jit
+                def render_fn(weights, positions, view_directions,
+                              t_values):
+                    flat_pos = positions.reshape(-1, 3)
+                    flat_views = view_directions.reshape(-1, 3)
+                    color_o = fused_nerf_apply(self.model, weights,
+                                               flat_pos, flat_views)
+                    color_o = color_o.reshape(*t_values.shape, 4)
+                    result = _composite(color_o, t_values, include_depth)
+                    return (result.color, result.alpha,
+                            result.depth if include_depth
+                            else result.alpha)
+            else:
+                @jax.jit
+                def render_fn(params, positions, view_directions,
+                              t_values):
+                    samples = RaySamples(positions, view_directions,
+                                         t_values, None)
+                    result = self.render(params, samples, include_depth)
+                    return (result.color, result.alpha,
+                            result.depth if include_depth
+                            else result.alpha)
+            self._render_fns[key] = render_fn
+        return self._render_fns[key]
 
     def batched_render(self, params, samples: RaySamples, batch_size: int,
                        include_depth: bool) -> RenderResult:
@@ -110,6 +157,8 @@ class Raycaster:
         (replaces ray_caster.py:103-138's variable final batch).
         """
         render_fn = self._render_jit(include_depth)
+        model_arg = (self._get_fused_weights(params) if self.fused
+                     else params)
         num_rays = samples.positions.shape[0]
         colors, alphas, depths = [], [], []
         pos, views, t_values = (np.asarray(samples.positions),
@@ -121,7 +170,7 @@ class Raycaster:
             p = np.pad(pos[start:end], ((0, pad), (0, 0), (0, 0)))
             v = np.pad(views[start:end], ((0, pad), (0, 0), (0, 0)))
             t = np.pad(t_values[start:end], ((0, pad), (0, 0)))
-            color, alpha, depth = render_fn(params, jnp.asarray(p),
+            color, alpha, depth = render_fn(model_arg, jnp.asarray(p),
                                             jnp.asarray(v), jnp.asarray(t))
             take = end - start
             colors.append(np.asarray(color)[:take])

@@ -1,0 +1,111 @@
+"""Fused Pallas NeRF kernel vs the XLA reference forward (interpret
+mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fourier_feature_nets_tpu as ffn
+from fourier_feature_nets_tpu.models import NeRF
+from fourier_feature_nets_tpu.ops.fused_nerf import (
+    fused_nerf_apply,
+    prepare_fused_nerf,
+)
+
+
+@pytest.fixture(scope="module")
+def nerf():
+    model = NeRF(num_layers=4, num_channels=64, max_log_scale_pos=9.0,
+                 num_freq_pos=10, max_log_scale_view=3.0, num_freq_view=4,
+                 skips=[2], include_inputs=True)
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params
+
+
+@pytest.fixture(scope="module")
+def inputs(nerf):
+    rng = np.random.default_rng(3)
+    pos = jnp.asarray(rng.uniform(-1.5, 1.5, (200, 3)).astype(np.float32))
+    views = rng.normal(size=(200, 3)).astype(np.float32)
+    views /= np.linalg.norm(views, axis=-1, keepdims=True)
+    return pos, jnp.asarray(views)
+
+
+class TestFusedKernel:
+    def test_f32_matches_reference(self, nerf, inputs):
+        model, params = nerf
+        pos, views = inputs
+        ref = np.asarray(model.apply(params, pos, views))
+        weights = prepare_fused_nerf(model, params, dtype=jnp.float32)
+        out = np.asarray(fused_nerf_apply(model, weights, pos, views,
+                                          tile=128, interpret=True))
+        # fast-trig polynomial: rendering-grade tolerance
+        np.testing.assert_allclose(out, ref, rtol=1e-3, atol=2e-4)
+
+    def test_doubling_matches_reference(self, nerf, inputs):
+        model, params = nerf
+        pos, views = inputs
+        ref = np.asarray(model.apply(params, pos, views))
+        weights = prepare_fused_nerf(model, params, dtype=jnp.float32,
+                                     use_doubling=True)
+        assert len(weights.first_parts) == 1  # doubling active
+        out = np.asarray(fused_nerf_apply(model, weights, pos, views,
+                                          tile=128, interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=1e-3, atol=2e-4)
+
+    def test_bf16_close_to_reference(self, nerf, inputs):
+        model, params = nerf
+        pos, views = inputs
+        ref = np.asarray(model.apply(params, pos, views))
+        weights = prepare_fused_nerf(model, params, dtype=jnp.bfloat16)
+        out = np.asarray(fused_nerf_apply(model, weights, pos, views,
+                                          tile=128, interpret=True))
+        np.testing.assert_allclose(out, ref, atol=0.05)
+
+    def test_padding_of_ragged_batch(self, nerf, inputs):
+        model, params = nerf
+        pos, views = inputs
+        weights = prepare_fused_nerf(model, params, dtype=jnp.float32)
+        out = fused_nerf_apply(model, weights, pos[:77], views[:77],
+                               tile=128, interpret=True)
+        assert out.shape == (77, 4)
+
+    def test_non_doubling_config_direct_path(self, inputs):
+        pos, views = inputs
+        model = NeRF(num_layers=2, num_channels=32,
+                     max_log_scale_pos=5.5, num_freq_pos=8,
+                     max_log_scale_view=1.5, num_freq_view=2,
+                     skips=[1], include_inputs=False)
+        params = model.init(jax.random.PRNGKey(1))
+        weights = prepare_fused_nerf(model, params, dtype=jnp.float32,
+                                     use_doubling=True)
+        assert len(weights.first_parts) == 2  # doubling NOT applicable
+        ref = np.asarray(model.apply(params, pos, views))
+        out = np.asarray(fused_nerf_apply(model, weights, pos, views,
+                                          tile=128, interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=1e-3, atol=2e-4)
+
+
+class TestFusedRaycaster:
+    def test_batched_render_fused_matches_plain(self, nerf):
+        model, params = nerf
+        from fourier_feature_nets_tpu.render.ray_sampler import RaySamples
+        rng = np.random.default_rng(0)
+        R, S = 24, 8
+        t = np.sort(rng.uniform(1, 3, (R, S)).astype(np.float32), -1)
+        d = rng.normal(size=(R, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        s = rng.uniform(-0.5, 0.5, (R, 3)).astype(np.float32)
+        pos = (s[:, None] + t[..., None] * d[:, None]).astype(np.float32)
+        samples = RaySamples(jnp.asarray(pos),
+                             jnp.asarray(np.ascontiguousarray(
+                                 np.broadcast_to(d[:, None], pos.shape))),
+                             jnp.asarray(t), None)
+
+        plain = ffn.Raycaster(model).batched_render(params, samples, 16,
+                                                    include_depth=True)
+        fused = ffn.Raycaster(model, fused=True).batched_render(
+            params, samples, 16, include_depth=True)
+        np.testing.assert_allclose(fused.color, plain.color, atol=1e-3)
+        np.testing.assert_allclose(fused.alpha, plain.alpha, atol=1e-3)
