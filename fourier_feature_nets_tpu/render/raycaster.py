@@ -11,6 +11,7 @@ axis across a ``jax.sharding.Mesh``; XLA inserts the gradient
 all-reduce over ICI automatically.
 """
 
+import os
 import time
 from functools import partial
 from typing import List, Optional, Tuple
@@ -317,8 +318,10 @@ class Raycaster:
             learning_rate: float, num_steps: int, crop_steps: int,
             report_interval: int, decay_rate: float, decay_steps: int,
             weight_decay: float = 0.0, visualizers=(),
-            mesh=None, seed: int = 0,
-            metric_logger=None) -> Tuple[dict, List[LogEntry]]:
+            mesh=None, seed: int = 0, metric_logger=None,
+            checkpoint_dir: Optional[str] = None,
+            checkpoint_interval: Optional[int] = None,
+            resume: bool = False) -> Tuple[dict, List[LogEntry]]:
         """Fits the model to the dataset (ray_caster.py:248-377 parity).
 
         Args:
@@ -338,24 +341,44 @@ class Raycaster:
             seed: RNG seed for shuffling/stratified jitter.
             metric_logger: optional callable(name, value) — the
                 AML-run-log equivalent (ray_caster.py:354-357).
+            checkpoint_dir / checkpoint_interval: when set, a
+                resumable TrainState checkpoint is written every
+                ``checkpoint_interval`` steps.
+            resume: restore the newest checkpoint in
+                ``checkpoint_dir`` before training (exact optimizer
+                state; the epoch shuffle restarts).
 
         Returns:
             (params, log) — final parameters and LogEntry list.
         """
+        from ..utils.checkpoint import (
+            latest_checkpoint,
+            load_train_state,
+            save_train_state,
+        )
+
         rng = jax.random.PRNGKey(seed)
         trainval_dataset = train_dataset.sample_cameras(
             val_dataset.num_cameras, val_dataset.num_samples, False)
 
+        opt_state = adam_init(params)
+        start_step = 0
+        if resume and checkpoint_dir:
+            ckpt = latest_checkpoint(checkpoint_dir)
+            if ckpt:
+                state = load_train_state(ckpt)
+                params, opt_state = state.params, state.opt_state
+                start_step = state.step + 1
+                print(f"Resumed from {ckpt} at step {start_step}")
+
         dataset_mode = train_dataset.mode
-        if crop_steps:
+        if crop_steps and start_step < crop_steps:
             train_dataset.mode = Mode.Center
             val_dataset.mode = Mode.Center
             trainval_dataset.mode = Mode.Center
         else:
             val_dataset.mode = dataset_mode
             trainval_dataset.mode = dataset_mode
-
-        opt_state = adam_init(params)
         if mesh is not None:
             replicated = NamedSharding(mesh, P())
             # copy first: device_put may alias compatible buffers and
@@ -387,8 +410,8 @@ class Raycaster:
                                            train_dataset.color_space)
 
         log: List[LogEntry] = []
-        step = 0
-        epoch_rng = rng
+        step = start_step
+        epoch_rng = jax.random.fold_in(rng, start_step)
         start_time = time.time()
 
         while step <= num_steps:
@@ -435,6 +458,15 @@ class Raycaster:
                         trainval_dataset.mode = dataset_mode
                         step += 1
                         restart_epoch = True
+
+                if (checkpoint_dir and checkpoint_interval
+                        and step > start_step
+                        and step % checkpoint_interval == 0):
+                    save_train_state(
+                        os.path.join(checkpoint_dir,
+                                     f"ckpt_{step:08d}.npz"),
+                        self.model, jax.tree.map(np.asarray, params),
+                        jax.tree.map(np.asarray, opt_state), step, seed)
 
                 if not restart_epoch:
                     for visualizer in visualizers:

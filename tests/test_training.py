@@ -1,0 +1,191 @@
+"""End-to-end training tests: convergence, crop curriculum,
+checkpoint/resume, and hierarchical (opacity-guided) sampling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fourier_feature_nets_tpu as ffn
+from fourier_feature_nets_tpu.datasets.synthetic import (
+    generate_synthetic_dataset,
+)
+from fourier_feature_nets_tpu.models import Voxels
+from fourier_feature_nets_tpu.utils import adam_init
+from fourier_feature_nets_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    load_train_state,
+    save_train_state,
+)
+
+
+@pytest.fixture(scope="module")
+def scene_path(tmp_path_factory):
+    path = tmp_path_factory.mktemp("data") / "scene.npz"
+    return generate_synthetic_dataset(str(path), resolution=40,
+                                      split_counts=(6, 2, 1),
+                                      volume_side=24, num_samples=96)
+
+
+@pytest.fixture(scope="module")
+def datasets(scene_path):
+    train = ffn.ImageDataset.load(scene_path, "train", num_samples=48,
+                                  stratified=True)
+    val = ffn.ImageDataset.load(scene_path, "val", num_samples=48)
+    return train, val
+
+
+def test_voxel_training_converges(datasets):
+    """PSNR must improve substantially within 400 steps."""
+    train, val = datasets
+    model = Voxels(side=24, scale=1.0)
+    params = model.init(jax.random.PRNGKey(0))
+    caster = ffn.Raycaster(model)
+    params, log = caster.fit(params, train, val, batch_size=512,
+                             learning_rate=0.05, num_steps=400,
+                             crop_steps=0, report_interval=200,
+                             decay_rate=0.9, decay_steps=25000)
+    first = log[0].val_psnr
+    last = log[-1].val_psnr
+    assert last > first + 3.0, (first, last)
+    assert last > 15.0, last
+
+
+def test_crop_curriculum_switches_mode(datasets):
+    train, val = datasets
+    model = Voxels(side=8, scale=1.0)
+    params = model.init(jax.random.PRNGKey(0))
+    caster = ffn.Raycaster(model)
+    params, _ = caster.fit(params, train, val, batch_size=256,
+                           learning_rate=0.01, num_steps=25,
+                           crop_steps=10, report_interval=20,
+                           decay_rate=0.9, decay_steps=25000)
+    # after fit, dataset returned to its original (Full) mode
+    assert train.mode == ffn.Mode.Full
+    assert val.mode == ffn.Mode.Full
+
+
+class TestCheckpoint:
+    def test_train_state_roundtrip(self, tmp_path):
+        model = Voxels(side=4, scale=1.0)
+        params = model.init(jax.random.PRNGKey(0))
+        opt = adam_init(params)
+        opt = opt._replace(step=jnp.asarray(17, jnp.int32))
+        path = str(tmp_path / "state.npz")
+        save_train_state(path, model, params, opt, step=17, seed=3)
+
+        state = load_train_state(path)
+        assert state.step == 17
+        assert state.seed == 3
+        assert int(state.opt_state.step) == 17
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_latest_checkpoint(self, tmp_path):
+        model = Voxels(side=4, scale=1.0)
+        params = model.init(jax.random.PRNGKey(0))
+        opt = adam_init(params)
+        for step in (100, 300, 200):
+            save_train_state(str(tmp_path / f"ckpt_{step:08d}.npz"),
+                             model, params, opt, step)
+        best = latest_checkpoint(str(tmp_path))
+        assert best.endswith("ckpt_00000300.npz")
+
+    def test_fit_resume_continues(self, datasets, tmp_path):
+        """Interrupted fit + resumed fit lands at a sane state."""
+        train, val = datasets
+        model = Voxels(side=8, scale=1.0)
+        caster = ffn.Raycaster(model)
+        ckpt_dir = str(tmp_path / "ckpts")
+
+        params = model.init(jax.random.PRNGKey(0))
+        caster.fit(params, train, val, batch_size=256,
+                   learning_rate=0.02, num_steps=40, crop_steps=0,
+                   report_interval=100, decay_rate=0.9,
+                   decay_steps=25000, checkpoint_dir=ckpt_dir,
+                   checkpoint_interval=20)
+        assert latest_checkpoint(ckpt_dir) is not None
+
+        params2 = model.init(jax.random.PRNGKey(0))
+        final, log = caster.fit(params2, train, val, batch_size=256,
+                                learning_rate=0.02, num_steps=60,
+                                crop_steps=0, report_interval=10,
+                                decay_rate=0.9, decay_steps=25000,
+                                checkpoint_dir=ckpt_dir,
+                                checkpoint_interval=20, resume=True)
+        # resumed from step 40 -> first report happens past it
+        assert log[0].step > 20
+
+
+class TestHierarchicalSampling:
+    def test_opacity_model_cdf_and_focus(self, scene_path):
+        """A dataset built with an opacity model draws half its
+        samples by inverse-CDF and concentrates them on the object."""
+        # first train a quick coarse voxel model
+        coarse = ffn.ImageDataset.load(scene_path, "train",
+                                       num_samples=32)
+        val = ffn.ImageDataset.load(scene_path, "val", num_samples=32)
+        model = Voxels(side=16, scale=1.0)
+        params = model.init(jax.random.PRNGKey(0))
+        caster = ffn.Raycaster(model)
+        params, _ = caster.fit(params, coarse, val, batch_size=512,
+                               learning_rate=0.05, num_steps=200,
+                               crop_steps=0, report_interval=200,
+                               decay_rate=0.9, decay_steps=25000)
+
+        focused = ffn.ImageDataset.load(scene_path, "train",
+                                        num_samples=32,
+                                        opacity_model=model,
+                                        opacity_params=params,
+                                        batch_size=2048)
+        sampler = focused.sampler
+        assert sampler.focus_sampling
+        assert sampler.cdfs.shape == (len(sampler),
+                                      sampler.num_focus_samples - 1)
+
+        # rays through the object center should focus samples near it
+        idx = sampler._valid_for_camera(0)
+        rays = sampler.sample(jnp.asarray(idx), None)
+        assert rays.t_values.shape == (len(idx), 32)
+        t = np.asarray(rays.t_values)
+        assert (np.diff(t, axis=-1) >= -1e-5).all()  # sorted
+
+        # focused samples must differ from the uniform-only dataset
+        plain = ffn.ImageDataset.load(scene_path, "train",
+                                      num_samples=32)
+        rays_plain = plain.sampler.sample(jnp.asarray(idx), None)
+        assert not np.allclose(t, np.asarray(rays_plain.t_values))
+
+    def test_focus_sampling_improves_distribution(self, scene_path):
+        """Focus samples concentrate where a synthetic opacity model
+        places mass."""
+
+        class PeakOpacity:
+            """Opacity spike at a known depth band (|x| < 0.2)."""
+
+            use_view = False
+            model_type = "fourier"
+
+            def apply(self, params, positions, compute_dtype=None):
+                dist = jnp.linalg.norm(positions, axis=-1,
+                                       keepdims=True)
+                logit = jnp.where(dist < 0.25, 5.0, -20.0)
+                return jnp.tile(logit, (1, 4))
+
+        dataset = ffn.ImageDataset.load(scene_path, "train",
+                                        num_samples=64,
+                                        opacity_model=PeakOpacity(),
+                                        opacity_params={},
+                                        batch_size=4096)
+        sampler = dataset.sampler
+        idx = sampler._valid_for_camera(0)
+        rays = sampler.sample(jnp.asarray(idx), None)
+        positions = np.asarray(rays.positions)
+        # for rays whose CDF saw the spike, over half the samples
+        # should land within the central sphere region
+        dist = np.linalg.norm(positions, axis=-1)
+        through_center = dist.min(-1) < 0.2
+        if through_center.any():
+            frac_near = (dist[through_center] < 0.5).mean()
+            assert frac_near > 0.5, frac_near
