@@ -64,7 +64,9 @@ def main():
     render_rays = 16384
     train_rays = 1024
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, static_argnames="num_rays")
     def make_rays(key, num_rays):
         k1, k2, k3 = jax.random.split(key, 3)
         t = jnp.sort(jax.random.uniform(k1, (num_rays, num_samples),

@@ -40,6 +40,10 @@ from .models import (
 )
 from .ops import calculate_blend_weights, interpolate_bilinear
 
+from .utils.debug import init_from_env as _init_debug_from_env
+
+_init_debug_from_env()
+
 __version__ = "0.1.0"
 
 __all__ = [

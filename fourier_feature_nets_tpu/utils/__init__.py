@@ -1,6 +1,13 @@
 """Training utilities: optimization, schedules, camera paths, logging."""
 
 from .assets import ASSETS, default_data_dir, download_asset
+from .checkpoint import (
+    TrainState,
+    latest_checkpoint,
+    load_train_state,
+    save_train_state,
+)
+from .debug import enable_debug_nans, init_from_env, profile
 from .camera_paths import (
     fibonacci_hemisphere,
     hemisphere,
@@ -23,6 +30,13 @@ __all__ = [
     "ASSETS",
     "default_data_dir",
     "download_asset",
+    "TrainState",
+    "latest_checkpoint",
+    "load_train_state",
+    "save_train_state",
+    "enable_debug_nans",
+    "init_from_env",
+    "profile",
     "fibonacci_hemisphere",
     "hemisphere",
     "look_at_extrinsics",
