@@ -19,6 +19,7 @@ from .datasets import (
     SignalDataset,
     generate_synthetic_dataset,
 )
+from .octree import OcTree
 from .render import Raycaster, RaySampler, RaySamples
 from .utils import (
     ETABar,
@@ -26,6 +27,14 @@ from .utils import (
     exponential_lr,
     hemisphere,
     orbit,
+)
+from .utils import exponential_lr as exponential_lr_decay
+from .visualizers import (
+    ActivationVisualizer,
+    ComparisonVisualizer,
+    EvaluationVisualizer,
+    OrbitVideoVisualizer,
+    Visualizer,
 )
 from .models import (
     BasicFourierMLP,
@@ -64,8 +73,15 @@ __all__ = [
     "ETABar",
     "download_asset",
     "exponential_lr",
+    "exponential_lr_decay",
     "hemisphere",
     "orbit",
+    "OcTree",
+    "Visualizer",
+    "ActivationVisualizer",
+    "ComparisonVisualizer",
+    "EvaluationVisualizer",
+    "OrbitVideoVisualizer",
     "BasicFourierMLP",
     "FourierFeatureMLP",
     "GaussianFourierMLP",

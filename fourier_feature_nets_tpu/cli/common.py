@@ -30,6 +30,9 @@ def add_common_train_args(parser):
     parser.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
                         default="float32",
                         help="Matmul dtype for the model body")
+    parser.add_argument("--fused", action="store_true",
+                        help="Use the Pallas fused NeRF kernels for "
+                             "rendering and (single-mesh) training")
 
 
 def load_opacity(path, args):

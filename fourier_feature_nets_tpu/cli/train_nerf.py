@@ -60,7 +60,8 @@ def main(argv=None):
 
     visualizers = common.make_visualizers(args, train_dataset, val_dataset)
     raycaster = Raycaster(model,
-                          compute_dtype=common.get_compute_dtype(args))
+                          compute_dtype=common.get_compute_dtype(args),
+                          fused=args.fused)
     params, log = raycaster.fit(params, train_dataset, val_dataset,
                                 args.batch_size, args.learning_rate,
                                 args.num_steps, args.crop_steps,

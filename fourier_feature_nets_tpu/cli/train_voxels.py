@@ -49,7 +49,8 @@ def main(argv=None):
     model = Voxels(args.side, scale)
     params = model.init(jax.random.PRNGKey(args.seed))
     raycaster = Raycaster(model,
-                          compute_dtype=common.get_compute_dtype(args))
+                          compute_dtype=common.get_compute_dtype(args),
+                          fused=args.fused)
 
     params, log = raycaster.fit(params, train_dataset, val_dataset,
                                 args.batch_size, args.learning_rate,

@@ -51,7 +51,6 @@ class FusedNeRFWeights(NamedTuple):
     mid_b: tuple
     skip_parts: tuple          # per skip layer: (h, cos, sin[, raw])
     skip_b: tuple
-    skip_positions: tuple      # indices (into the body) of skip layers
     opacity_w: jnp.ndarray     # (256, 8), col 0 live
     opacity_b: jnp.ndarray
     bottleneck_w: jnp.ndarray
@@ -178,7 +177,6 @@ def prepare_fused_nerf(model, params, dtype=jnp.bfloat16,
         first_parts=first_parts, first_b=first_b,
         mid_w=tuple(mid_w), mid_b=tuple(mid_b),
         skip_parts=tuple(skip_parts), skip_b=tuple(skip_b),
-        skip_positions=tuple(skip_positions),
         opacity_w=pad_cols(params["opacity_out"]["weight"], 8),
         opacity_b=pad_bias(params["opacity_out"]["bias"], 8),
         bottleneck_w=cast(params["bottleneck"]["weight"]),

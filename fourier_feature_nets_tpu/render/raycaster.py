@@ -68,9 +68,11 @@ class Raycaster:
             compute_dtype: optional matmul dtype for the model's MLP
                 body (e.g. jnp.bfloat16 for MXU speed); None keeps
                 full f32 parity.
-            fused: use the Pallas fused forward kernel for *inference*
-                renders (NeRF models only; training always uses the
-                XLA autodiff path). See ops/fused_nerf.py.
+            fused: route NeRF forward passes through the Pallas fused
+                kernels — the inference kernel for renders
+                (ops/fused_nerf.py) and the custom-VJP
+                recompute-backward kernel for single-mesh training
+                (ops/fused_nerf_train.py).
         """
         self.model = model
         self.compute_dtype = compute_dtype
@@ -248,12 +250,62 @@ class Raycaster:
     # training
     # ------------------------------------------------------------------
 
+    def to_scenepic(self, params, dataset: RayDataset, num_cameras=10,
+                    resolution=50, num_samples=64, empty_threshold=0.1):
+        """Model-state inspection scene (optional scenepic dep,
+        ray_caster.py:379-488 parity)."""
+        from ..scenepic_io import model_to_scenepic
+        return model_to_scenepic(self, params, dataset, num_cameras,
+                                 resolution, num_samples,
+                                 empty_threshold)
+
+    def _train_forward(self, params, rays: RaySamples) -> RenderResult:
+        """Differentiable forward for training: the Pallas fused
+        custom-VJP kernel when enabled (single-mesh NeRF), otherwise
+        the XLA autodiff path."""
+        if not self.fused:
+            return self.render(params, rays, include_depth=False)
+
+        from ..ops.fused_nerf_train import (
+            fused_nerf_train_apply,
+            model_statics,
+            pack_fused_nerf,
+        )
+
+        dtype = (self.compute_dtype if self.compute_dtype is not None
+                 else jnp.float32)
+        statics = model_statics(self.model, dtype)
+        tile = 512
+        default_device = jax.config.jax_default_device
+        on_tpu = (default_device.platform == "tpu"
+                  if default_device is not None
+                  else jax.default_backend() == "tpu")
+
+        num_rays, num_samples = rays.t_values.shape
+        positions = rays.positions.reshape(-1, 3)
+        views = rays.view_directions.reshape(-1, 3)
+        num = positions.shape[0]
+        padded = (num + tile - 1) // tile * tile
+        if padded != num:
+            positions = jnp.pad(positions, ((0, padded - num), (0, 0)))
+            views = jnp.pad(views, ((0, padded - num), (0, 0)))
+
+        packed = pack_fused_nerf(self.model, params, dtype)
+        logits = fused_nerf_train_apply(statics, packed, positions,
+                                        views, tile, not on_tpu)
+        logits = logits[:num].reshape(num_rays, num_samples, 4)
+        return _composite(logits, rays.t_values, False)
+
     def _make_train_step(self, dataset: RayDataset, batch_size: int,
                          learning_rate: float, decay_rate: float,
                          decay_steps: int, weight_decay: float,
                          mesh=None):
         sampler = dataset.sampler
         stratified = sampler.stratified
+        # the fused kernel is not GSPMD-partitionable: use the XLA
+        # path under a mesh (or the shard_map DP step)
+        forward = (self._train_forward if mesh is None
+                   else lambda p, r: self.render(p, r, False))
 
         def step_fn(params, opt_state, perm, offset, step, rng):
             idx = jax.lax.dynamic_slice(perm, (offset,), (batch_size,))
@@ -264,7 +316,7 @@ class Raycaster:
             rays = sampler.sample(idx, step, step_rng)
 
             def loss_fn(p):
-                render = self.render(p, rays, include_depth=False)
+                render = forward(p, rays)
                 return dataset.loss(idx, render)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -283,7 +335,7 @@ class Raycaster:
         @jax.jit
         def loss_fn(params, idx, step):
             rays = sampler.sample(idx, step, None)
-            render = self.render(params, rays, include_depth=False)
+            render = self._train_forward(params, rays)
             return dataset.loss(idx, render)
 
         return loss_fn
