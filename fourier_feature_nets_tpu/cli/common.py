@@ -3,8 +3,6 @@
 import json
 import os
 
-import numpy as np
-
 from ..datasets import ImageDataset, Mode
 from ..models import load_model
 from ..parallel import make_mesh

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..cameras import CameraInfo, Resolution, raycast_grid
+from ..cameras import Resolution, raycast_grid
 from ..ops import (
     batch_linspace,
     bounds_min_max,

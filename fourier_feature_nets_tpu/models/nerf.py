@@ -15,7 +15,6 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.encoding import positional_encoding_matrix
 from .module import Model, linear_apply, linear_init

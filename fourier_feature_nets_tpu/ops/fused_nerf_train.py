@@ -38,7 +38,6 @@ from .fused_nerf import (
     _fast_sincos,
     _fused_call,
     _phases,
-    _round_up,
 )
 
 __all__ = ["pack_fused_nerf", "fused_nerf_train_apply", "model_statics"]

@@ -13,7 +13,6 @@ kernels.
 from functools import partial
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from ..utils.optim import adam_update, exponential_lr

@@ -13,7 +13,6 @@ all-reduce over ICI automatically.
 
 import os
 import time
-from functools import partial
 from typing import List, Optional, Tuple
 
 import jax
