@@ -388,7 +388,10 @@ def fused_nerf_apply(model, weights: FusedNeRFWeights,
         weights.bottleneck_w.dtype)
     pos_double = (len(weights.first_parts) == 1)
     view_double = (len(weights.hidden_parts) == 2)
-    model_static = (model.num_layers, tuple(sorted(model.skips)),
+    # only in-range skips exist as packed layers
+    skips = tuple(s for s in sorted(model.skips)
+                  if 0 < s < model.num_layers)
+    model_static = (model.num_layers, skips,
                     model.include_inputs, model.num_freq_pos,
                     model.num_freq_view, pos_double, view_double,
                     str(dtype))

@@ -111,7 +111,9 @@ def pack_fused_nerf(model, params,
 
 def model_statics(model, dtype=jnp.bfloat16):
     """Hashable model description for the train kernels."""
-    return (model.num_layers, tuple(sorted(model.skips)),
+    skips = tuple(s for s in sorted(model.skips)
+                  if 0 < s < model.num_layers)
+    return (model.num_layers, skips,
             model.include_inputs, model.num_freq_pos,
             model.num_freq_view, False, False, str(jnp.dtype(dtype)))
 

@@ -1,0 +1,162 @@
+"""Visualizer artifact tests + CLI smoke tests (subprocess-free)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+import fourier_feature_nets_tpu as ffn
+from fourier_feature_nets_tpu.datasets.synthetic import (
+    generate_synthetic_dataset,
+)
+from fourier_feature_nets_tpu.models import Voxels, load_model
+
+
+@pytest.fixture(scope="module")
+def scene_path(tmp_path_factory):
+    path = tmp_path_factory.mktemp("data") / "scene.npz"
+    return generate_synthetic_dataset(str(path), resolution=24,
+                                      split_counts=(3, 2, 1),
+                                      volume_side=16, num_samples=64)
+
+
+@pytest.fixture(scope="module")
+def trained(scene_path):
+    train = ffn.ImageDataset.load(scene_path, "train", num_samples=16)
+    val = ffn.ImageDataset.load(scene_path, "val", num_samples=16)
+    model = Voxels(side=12, scale=1.0)
+    caster = ffn.Raycaster(model)
+    params, _ = caster.fit(model.init(jax.random.PRNGKey(0)), train,
+                           val, batch_size=256, learning_rate=0.05,
+                           num_steps=60, crop_steps=0,
+                           report_interval=100, decay_rate=0.9,
+                           decay_steps=25000)
+    return caster, params, train, val
+
+
+class TestVisualizers:
+    def test_evaluation_visualizer(self, trained, tmp_path):
+        caster, params, train, _ = trained
+        vis = ffn.EvaluationVisualizer(str(tmp_path), train, interval=1)
+
+        def render(samples, include_depth):
+            return caster.batched_render(params, samples, 256,
+                                         include_depth)
+
+        vis.visualize(0, render, None)
+        files = os.listdir(tmp_path / train.label)
+        assert len(files) == 1
+        import cv2
+        image = cv2.imread(str(tmp_path / train.label / files[0]))
+        assert image.shape == (48, 48, 3)  # 2x2 grid of 24px views
+
+    def test_orbit_video_visualizer(self, trained, tmp_path):
+        caster, params, train, _ = trained
+        vis = ffn.OrbitVideoVisualizer(str(tmp_path), num_steps=10,
+                                       resolution=(24, 24),
+                                       num_frames=5, num_samples=16,
+                                       color_space="RGB")
+
+        def render(samples, include_depth):
+            return caster.batched_render(params, samples, 256,
+                                         include_depth)
+
+        vis.visualize(0, render, None)
+        vis.visualize(1, render, None)  # off-interval: skipped
+        vis.visualize(2, render, None)
+        files = os.listdir(tmp_path / "video")
+        assert len(files) == 2
+
+    def test_comparison_visualizer(self, trained, tmp_path):
+        caster, params, train, val = trained
+        sub_train = train.sample_cameras(2, 16, False)
+        sub_val = val.sample_cameras(2, 16, False)
+        vis = ffn.ComparisonVisualizer(str(tmp_path), num_steps=10,
+                                       num_frames=5, train=sub_train,
+                                       val=sub_val)
+
+        def render(samples, include_depth):
+            return caster.batched_render(params, samples, 256,
+                                         include_depth)
+
+        vis.visualize(0, render, None)
+        files = os.listdir(tmp_path / "compare")
+        assert len(files) == 1
+
+
+class TestCLIs:
+    def test_train_voxels_cli(self, scene_path, tmp_path):
+        from fourier_feature_nets_tpu.cli.train_voxels import main
+        out = str(tmp_path / "voxels")
+        code = main([scene_path, "12", out, "--num-steps", "20",
+                     "--num-samples", "16", "--batch-size", "128",
+                     "--report-interval", "20", "--image-interval",
+                     "1000"])
+        assert code == 0
+        assert os.path.exists(os.path.join(out, "voxels.npz"))
+        assert os.path.exists(os.path.join(out, "log.txt"))
+        model, params = load_model(os.path.join(out, "voxels.npz"))
+        assert model.side == 12
+
+    def test_train_tiny_nerf_cli(self, scene_path, tmp_path):
+        from fourier_feature_nets_tpu.cli.train_tiny_nerf import main
+        out = str(tmp_path / "tiny")
+        code = main([scene_path, "positional", out, "--num-steps", "10",
+                     "--num-samples", "8", "--batch-size", "128",
+                     "--num-channels", "32", "--embedding-size", "24",
+                     "--crop-steps", "0", "--report-interval", "10",
+                     "--image-interval", "1000"])
+        assert code == 0
+        assert os.path.exists(os.path.join(out, "tiny_nerf.npz"))
+
+    def test_train_nerf_cli_fused(self, scene_path, tmp_path):
+        from fourier_feature_nets_tpu.cli.train_nerf import main
+        out = str(tmp_path / "nerf")
+        code = main([scene_path, out, "--num-steps", "6",
+                     "--num-samples", "8", "--batch-size", "128",
+                     "--num-layers", "2", "--num-channels", "32",
+                     "--crop-steps", "0", "--report-interval", "10",
+                     "--image-interval", "1000", "--fused"])
+        assert code == 0
+        assert os.path.exists(os.path.join(out, "nerf.npz"))
+
+    def test_orbit_video_cli(self, trained, tmp_path):
+        from fourier_feature_nets_tpu.cli.orbit_video import main
+        from fourier_feature_nets_tpu.models import save_model
+        caster, params, _, _ = trained
+        model_path = str(tmp_path / "model.npz")
+        save_model(caster.model, params, model_path)
+        out = str(tmp_path / "orbit")
+        code = main([model_path, "16", out, "--num-frames", "3",
+                     "--num-samples", "8", "--batch-size", "128",
+                     "--no-focus"])
+        assert code == 0
+        assert len(os.listdir(out)) == 3
+
+    def test_voxelize_model_cli(self, trained, scene_path, tmp_path):
+        from fourier_feature_nets_tpu.cli.voxelize_model import main
+        from fourier_feature_nets_tpu.models import save_model
+        from fourier_feature_nets_tpu.octree import OcTree
+        caster, params, _, _ = trained
+        model_path = str(tmp_path / "model.npz")
+        save_model(caster.model, params, model_path)
+        out = str(tmp_path / "tree.npz")
+        code = main([model_path, scene_path, out, "--num-samples", "16",
+                     "--batch-size", "256", "--depth", "5",
+                     "--min-leaf-size", "2"])
+        assert code == 0
+        tree = OcTree.load(out)
+        assert tree.num_leaves > 0
+
+    def test_sweep_log_parsing(self, tmp_path):
+        from fourier_feature_nets_tpu.cli.sweep import (
+            best_metric_from_log,
+        )
+        log = tmp_path / "log.txt"
+        log.write_text('{"args": 1}\n\n'
+                       "step\ttimestamp\tpsnr_train\tpsnr_val\n"
+                       "0\t1.0\t10.0\t9.5\n"
+                       "100\t2.0\t20.0\t18.5\n")
+        assert best_metric_from_log(str(log)) == 18.5
+        assert best_metric_from_log(str(log), "psnr_train") == 20.0
