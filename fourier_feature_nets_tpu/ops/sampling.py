@@ -95,6 +95,42 @@ def determine_cdf(t_values: jnp.ndarray,
     return jnp.concatenate([zero, cdf], axis=-1)
 
 
+def inverse_cdf_from_bins(t_edges: jnp.ndarray, cdf: jnp.ndarray,
+                          num_samples: int,
+                          rng: jax.Array = None) -> jnp.ndarray:
+    """Inverse-transform sampling over explicit bin edges.
+
+    Args:
+        t_edges: (R, B+1) monotonically increasing bin edges.
+        cdf: (R, B+1) cumulative distribution at the edges
+            (cdf[:, 0] == 0, cdf[:, -1] == 1).
+        num_samples: samples to draw per ray.
+        rng: PRNG key for random quantiles; None = even spacing.
+
+    Returns:
+        (R, num_samples) t values, linearly interpolated within bins.
+    """
+    num_rays = t_edges.shape[0]
+    if rng is not None:
+        quantiles = jax.random.uniform(rng, (num_rays, num_samples))
+    else:
+        quantiles = jnp.broadcast_to(
+            jnp.linspace(0.0, 1.0, num_samples),
+            (num_rays, num_samples))
+
+    index = jax.vmap(partial(jnp.searchsorted, side="right"))(cdf,
+                                                              quantiles)
+    i = jnp.maximum(index - 1, 0)
+    j = jnp.minimum(index, cdf.shape[-1] - 1)
+    cdf_i = jnp.take_along_axis(cdf, i, axis=-1)
+    cdf_j = jnp.take_along_axis(cdf, j, axis=-1)
+    t_i = jnp.take_along_axis(t_edges, i, axis=-1)
+    t_j = jnp.take_along_axis(t_edges, j, axis=-1)
+    denominator = jnp.where(cdf_j - cdf_i < 1e-9, 1.0, cdf_j - cdf_i)
+    frac = (quantiles - cdf_i) / denominator
+    return t_i + frac * (t_j - t_i)
+
+
 def inverse_cdf_t_values(near: jnp.ndarray, far: jnp.ndarray,
                          cdf: jnp.ndarray, num_samples: int,
                          num_cdf_samples: int,

@@ -1,0 +1,100 @@
+"""Octree-accelerated sampling: empty-space skipping correctness."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fourier_feature_nets_tpu.cameras import CameraInfo, Resolution
+from fourier_feature_nets_tpu.octree import OcTree
+from fourier_feature_nets_tpu.render.octree_sampler import (
+    OctreeRaySampler,
+    occupancy_t_values,
+)
+from fourier_feature_nets_tpu.utils.camera_paths import hemisphere
+
+
+@pytest.fixture(scope="module")
+def tree():
+    """Octree around a small off-center blob."""
+    rng = np.random.default_rng(1)
+    points = rng.normal([0.4, 0.0, 0.0], 0.08, (4000, 3))
+    # anchor points so the tree cube spans ~[-1, 1]
+    anchors = np.array([[-1, -1, -1], [1, 1, 1]], np.float64)
+    cloud = np.concatenate([points, anchors]).astype(np.float32)
+    return OcTree.build_from_samples(cloud, depth=5, min_leaf_size=2)
+
+
+@pytest.fixture(scope="module")
+def cameras():
+    return hemisphere(np.array([0.0, 1.0, 0.0]),
+                      np.array([0.0, 0.0, 1.0]), 2, 40.0,
+                      Resolution(16, 16), 3.0, pos_noise=0.0,
+                      rng=np.random.default_rng(0))
+
+
+class TestOccupancyTValues:
+    def test_concentrates_in_occupied_interval(self):
+        t_stops = jnp.asarray([[0.0, 1.0, 2.0, 3.0, 4.0]])
+        leaves = jnp.asarray([[-1, 5, -1, -1, -1]])  # [1,2] occupied
+        t = occupancy_t_values(t_stops, leaves, 64,
+                               jax.random.PRNGKey(0))
+        t = np.asarray(t)[0]
+        inside = ((t >= 1.0) & (t <= 2.0)).mean()
+        assert inside > 0.95, inside
+
+    def test_sorted_output(self):
+        t_stops = jnp.asarray([[0.0, 0.5, 1.5, 2.0, 4.0]])
+        leaves = jnp.asarray([[3, -1, 7, -1, -1]])
+        t = occupancy_t_values(t_stops, leaves, 32,
+                               jax.random.PRNGKey(1))
+        assert (np.diff(np.asarray(t)[0]) >= 0).all()
+
+    def test_all_empty_falls_back_uniform(self):
+        """No occupied cells: samples still spread over the range."""
+        t_stops = jnp.asarray([[1.0, 2.0, 3.0]])
+        leaves = jnp.asarray([[-1, -1, -1]])
+        t = np.asarray(occupancy_t_values(t_stops, leaves, 16))[0]
+        assert t.min() >= 1.0 - 1e-5 and t.max() <= 3.0 + 1e-5
+        assert t.std() > 0.3
+
+
+class TestOctreeRaySampler:
+    def test_samples_cluster_near_occupied_region(self, tree, cameras):
+        sampler = OctreeRaySampler(tree, cameras, num_samples=32)
+        # rays through the image center point at the origin region
+        idx = sampler._valid_for_camera(0)
+        rays = sampler.sample(jnp.asarray(idx),
+                              rng=jax.random.PRNGKey(0))
+        positions = np.asarray(rays.positions)
+        # the blob sits at (0.4, 0, 0): rays that pass within 0.15 of
+        # it should place most samples nearby
+        dist = np.linalg.norm(positions - np.array([0.4, 0.0, 0.0]),
+                              axis=-1)
+        hits = dist.min(-1) < 0.1
+        if hits.any():
+            frac_near = (dist[hits] < 0.5).mean()
+            assert frac_near > 0.6, frac_near
+
+    def test_jittable(self, tree, cameras):
+        sampler = OctreeRaySampler(tree, cameras, num_samples=16,
+                                   stratified=True)
+
+        @jax.jit
+        def sample_fn(idx, key):
+            return sampler.sample(idx, rng=key)
+
+        idx = jnp.asarray(sampler._valid_for_camera(0)[:8])
+        rays = sample_fn(idx, jax.random.PRNGKey(0))
+        assert rays.positions.shape == (8, 16, 3)
+        assert not np.isnan(np.asarray(rays.positions)).any()
+
+    def test_renders_through_raycaster(self, tree, cameras):
+        import fourier_feature_nets_tpu as ffn
+        from fourier_feature_nets_tpu.models import Voxels
+        model = Voxels(side=8, scale=1.0)
+        params = model.init(jax.random.PRNGKey(0))
+        caster = ffn.Raycaster(model)
+        sampler = OctreeRaySampler(tree, cameras, num_samples=16)
+        image = caster.render_image(params, sampler, 0, batch_size=128)
+        assert image.shape == (16, 16, 3)
