@@ -43,6 +43,10 @@ def _parse_args(argv=None):
     parser.add_argument("--batch-size", type=int, default=4096)
     parser.add_argument("--no-focus", action="store_true",
                         help="Disable opacity-guided focus sampling")
+    parser.add_argument("--octree",
+                        help="Path to an octree NPZ (voxelize_model "
+                             "output) for empty-space-skipping "
+                             "sample placement")
     parser.add_argument("--compute-dtype",
                         choices=["float32", "bfloat16"],
                         default="float32")
@@ -61,18 +65,29 @@ def main(argv=None):
     bounds = np.diag([2.0, 2.0, 2.0, 1.0]).astype(np.float32)
 
     model, params = load_model(args.model_path)
-    if args.opacity_model:
-        opacity_model, opacity_params = load_model(args.opacity_model)
-    elif not args.no_focus:
-        opacity_model, opacity_params = model, params
-    else:
-        opacity_model = opacity_params = None
 
     compute_dtype = (jnp.bfloat16 if args.compute_dtype == "bfloat16"
                      else None)
-    raycaster = Raycaster(model, compute_dtype=compute_dtype)
-    sampler = RaySampler(bounds, orbit_cameras, args.num_samples, False,
-                         opacity_model, opacity_params, args.batch_size)
+    raycaster = Raycaster(model, compute_dtype=compute_dtype,
+                          fused=model.model_type == "nerf")
+
+    if args.octree:
+        from ..octree import OcTree
+        from ..render import OctreeRaySampler
+        tree = OcTree.load(args.octree)
+        sampler = OctreeRaySampler(tree, orbit_cameras,
+                                   args.num_samples, bounds=bounds)
+    else:
+        if args.opacity_model:
+            opacity_model, opacity_params = load_model(
+                args.opacity_model)
+        elif not args.no_focus:
+            opacity_model, opacity_params = model, params
+        else:
+            opacity_model = opacity_params = None
+        sampler = RaySampler(bounds, orbit_cameras, args.num_samples,
+                             False, opacity_model, opacity_params,
+                             args.batch_size)
 
     os.makedirs(args.output_dir, exist_ok=True)
     progress = ETABar("Rendering", max=args.num_frames)

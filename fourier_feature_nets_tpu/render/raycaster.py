@@ -59,7 +59,7 @@ class Raycaster:
     fits the field to a ray dataset."""
 
     def __init__(self, model: Model, compute_dtype=None,
-                 fused: bool = False):
+                 fused: bool = False, remat: bool = False):
         """Constructor.
 
         Args:
@@ -72,8 +72,13 @@ class Raycaster:
                 (ops/fused_nerf.py) and the custom-VJP
                 recompute-backward kernel for single-mesh training
                 (ops/fused_nerf_train.py).
+            remat: rematerialize the model forward in the backward
+                pass (jax.checkpoint) on the XLA training path —
+                trades FLOPs for activation memory, enabling larger
+                ray batches (the fused path recomputes by design).
         """
         self.model = model
+        self.remat = remat
         self.compute_dtype = compute_dtype
         self._render_fns = {}
         self._fused_weights = None
@@ -263,6 +268,10 @@ class Raycaster:
         custom-VJP kernel when enabled (single-mesh NeRF), otherwise
         the XLA autodiff path."""
         if not self.fused:
+            if self.remat:
+                return jax.checkpoint(
+                    lambda p: self.render(p, rays, include_depth=False)
+                )(params)
             return self.render(params, rays, include_depth=False)
 
         from ..ops.fused_nerf_train import (
