@@ -113,38 +113,72 @@ def main():
           f"{render_rays / dt / 1e6:.3f} Mrays/s", file=sys.stderr)
 
     # --- training step (bf16 body, full clipped-Adam update) ---
+    # timed as a 50-step lax.scan inside ONE compiled call: true
+    # device time, immune to per-dispatch tunnel noise
+    from fourier_feature_nets_tpu.ops.fused_nerf_train import (
+        fused_nerf_train_apply,
+        model_statics,
+        pack_fused_nerf,
+    )
+    from fourier_feature_nets_tpu.render.raycaster import _composite
+
     tpos, tviews, tt = make_rays(jax.random.fold_in(key, 1), train_rays)
-    opt_state = adam_init(params)
+    target = jnp.ones((train_rays, 3)) * 0.5
+    statics = model_statics(model, jnp.bfloat16)
+    scan_steps = 50
 
-    @jax.jit
-    def train_step(params, opt_state, pos, views, t, carry):
-        samples = RaySamples(pos + carry * 0.0, views, t, None)
-        target = jnp.ones((train_rays, 3)) * 0.5
+    def make_train(fused_train):
+        @jax.jit
+        def multi_step(params, opt_state, carry):
+            def body(c, _):
+                params, opt_state, carry = c
 
-        def loss_fn(p):
-            out = caster_bf16.render(p, samples, include_depth=False)
-            return jnp.mean(jnp.square(out.color - target))
+                def loss_fn(p):
+                    if fused_train:
+                        packed = pack_fused_nerf(model, p, jnp.bfloat16)
+                        logits = fused_nerf_train_apply(
+                            statics, packed,
+                            tpos.reshape(-1, 3) + carry * 0.0,
+                            tviews.reshape(-1, 3), 512, False)
+                        out = _composite(
+                            logits.reshape(train_rays, num_samples, 4),
+                            tt, False)
+                    else:
+                        samples = RaySamples(tpos + carry * 0.0, tviews,
+                                             tt, None)
+                        out = caster_bf16.render(p, samples, False)
+                    return jnp.mean(jnp.square(out.color - target))
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        params, opt_state = adam_update(grads, opt_state, params, 5e-4,
-                                        weight_decay=1e-6,
-                                        clip_value=0.1, clip_norm=0.1)
-        return params, opt_state, loss
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                params, opt_state = adam_update(
+                    grads, opt_state, params, 5e-4, weight_decay=1e-6,
+                    clip_value=0.1, clip_norm=0.1)
+                return (params, opt_state, loss), loss
 
-    p, o, loss = train_step(params, opt_state, tpos, tviews, tt,
-                            jnp.float32(0.0))
-    float(loss)
-    start = time.perf_counter()
-    iters = 20
-    for _ in range(iters):
-        p, o, loss = train_step(p, o, tpos, tviews, tt, loss)
-    float(loss)
-    dt_train = (time.perf_counter() - start) / iters
-    results["train_steps_per_sec"] = 1.0 / dt_train
-    print(f"train bf16: {1.0 / dt_train:.2f} steps/s "
-          f"({dt_train * 1e3:.2f} ms/step, batch {train_rays}x"
-          f"{num_samples}) -> 50k steps in "
-          f"{50000 * dt_train / 60:.1f} min", file=sys.stderr)
+            (params, opt_state, carry), _ = jax.lax.scan(
+                body, (params, opt_state, carry),
+                jnp.arange(scan_steps, dtype=jnp.int32))
+            return params, opt_state, carry
+        return multi_step
+
+    for label, fused_train in (("xla", False), ("fused", True)):
+        try:
+            step_fn = make_train(fused_train)
+            p, o, c = step_fn(params, adam_init(params),
+                              jnp.float32(0.0))
+            float(c)
+            start = time.perf_counter()
+            p, o, c = step_fn(p, o, c)
+            float(c)
+            dt_train = (time.perf_counter() - start) / scan_steps
+            results[f"train_steps_per_sec_{label}"] = 1.0 / dt_train
+            print(f"train {label} bf16: {1.0 / dt_train:.1f} steps/s "
+                  f"({dt_train * 1e3:.2f} ms/step, batch {train_rays}x"
+                  f"{num_samples}) -> 50k steps in "
+                  f"{50000 * dt_train / 60:.1f} min", file=sys.stderr)
+        except Exception as error:
+            print(f"train {label}: failed ({str(error)[:200]})",
+                  file=sys.stderr)
 
     headline = results["render_fused_bf16"]
     per_chip_target = 12.8e6 / 8  # north star: 800^2 @ 20 FPS on v5e-8

@@ -31,6 +31,10 @@ def add_common_train_args(parser):
     parser.add_argument("--fused", action="store_true",
                         help="Use the Pallas fused NeRF kernels for "
                              "rendering and (single-mesh) training")
+    parser.add_argument("--steps-per-call", type=int, default=1,
+                        help="Optimization steps per compiled call "
+                             "(lax.scan); >1 amortizes dispatch "
+                             "overhead on remote TPU runtimes")
 
 
 def load_opacity(path, args):

@@ -92,14 +92,15 @@ def main(argv=None):
 
     raycaster = Raycaster(model,
                           compute_dtype=common.get_compute_dtype(args),
-                          fused=args.fused)
+                          fused=args.fused, fused_train=args.fused)
     params, log = raycaster.fit(params, train_dataset, val_dataset,
                                 args.batch_size, args.learning_rate,
                                 args.num_steps, args.crop_steps,
                                 args.report_interval, args.decay_rate,
                                 args.decay_steps, args.weight_decay,
                                 visualizers, mesh=common.get_mesh(args),
-                                seed=args.seed)
+                                seed=args.seed,
+                                steps_per_call=args.steps_per_call)
 
     save_model(model, params,
                os.path.join(args.results_dir, "tiny_nerf.npz"))

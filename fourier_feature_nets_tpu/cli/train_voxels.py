@@ -50,14 +50,15 @@ def main(argv=None):
     params = model.init(jax.random.PRNGKey(args.seed))
     raycaster = Raycaster(model,
                           compute_dtype=common.get_compute_dtype(args),
-                          fused=args.fused)
+                          fused=args.fused, fused_train=args.fused)
 
     params, log = raycaster.fit(params, train_dataset, val_dataset,
                                 args.batch_size, args.learning_rate,
                                 args.num_steps, 0, args.report_interval,
                                 args.decay_rate, args.decay_steps, 0.0,
                                 visualizers, mesh=common.get_mesh(args),
-                                seed=args.seed)
+                                seed=args.seed,
+                                steps_per_call=args.steps_per_call)
 
     save_model(model, params, os.path.join(args.results_dir, "voxels.npz"))
     common.write_run_log(os.path.join(args.results_dir, "log.txt"),

@@ -124,6 +124,17 @@ def _dot(a, b, transpose_b=False):
                                preferred_element_type=jnp.float32)
 
 
+def _relu_mask(h):
+    """1.0 where h > 0 else 0.0, WITHOUT a vector compare.
+
+    This Mosaic/TPU toolchain crashes on vector comparison ops inside
+    kernels; since h = relu(z) >= 0 exactly, h / (h + eps) is an exact
+    0/1 mask for all representable positive h.
+    """
+    hf = h.astype(jnp.float32)
+    return hf / (hf + 1e-30)
+
+
 def _dot_tn(a, b):
     """a^T @ b: contract the tile (row) axis of both."""
     return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
@@ -177,6 +188,20 @@ def _bwd_kernel(config, positions_ref, views_ref, pos_enc_ref,
     def _init():
         for ref in all_outs:
             ref[:] = jnp.zeros(ref.shape, ref.dtype)
+
+    def acc_tn(ref, feat, dz):
+        # accumulate feat^T @ dz; grad rows may be padded to the
+        # 8-sublane minimum for output tiling
+        g = _dot_tn(feat, dz)
+        if g.shape[0] < ref.shape[0]:
+            g = jnp.pad(g, ((0, ref.shape[0] - g.shape[0]), (0, 0)))
+        ref[:] += g
+
+    def acc_bias(ref, dz):
+        # (1, C) broadcast into the (8, C) padded block: row 0 is the
+        # bias gradient, the copies are sliced away by the caller
+        ref[:] += jnp.sum(dz.astype(jnp.float32), axis=0,
+                          keepdims=True)
 
     pos = positions_ref[:]
     views = views_ref[:]
@@ -233,27 +258,25 @@ def _bwd_kernel(config, positions_ref, views_ref, pos_enc_ref,
     g_opacity = g_opacity_ref[:]   # (tile, 8), col 0 live
 
     # color head
-    d_color[:] += _dot_tn(hidden, g_color)
-    d_color_b[:] += jnp.sum(g_color, axis=0, keepdims=True)
+    acc_tn(d_color, hidden, g_color)
+    acc_bias(d_color_b, g_color)
     dhidden = _dot(g_color, color_w, transpose_b=True)
 
     # hidden_view layer
-    dz_h = (dhidden * (hidden > 0)).astype(compute_dtype)
-    d_hidden[0][:] += _dot_tn(bottleneck, dz_h)
+    dz_h = (dhidden * _relu_mask(hidden)).astype(compute_dtype)
+    acc_tn(d_hidden[0], bottleneck, dz_h)
     for k, feat in enumerate(venc):
-        d_hidden[1 + k][:] += _dot_tn(feat, dz_h)
-    d_hidden_b[:] += jnp.sum(dz_h.astype(jnp.float32), axis=0,
-                             keepdims=True)
+        acc_tn(d_hidden[1 + k], feat, dz_h)
+    acc_bias(d_hidden_b, dz_h)
     dbottleneck = _dot(dz_h, hidden_parts[0], transpose_b=True)
 
     # bottleneck + opacity heads (both consume h_list[-1])
     h_last = h_list[-1]
     dbottleneck = dbottleneck.astype(compute_dtype)
-    d_bottleneck[:] += _dot_tn(h_last, dbottleneck)
-    d_bottleneck_b[:] += jnp.sum(dbottleneck.astype(jnp.float32),
-                                 axis=0, keepdims=True)
-    d_opacity[:] += _dot_tn(h_last, g_opacity)
-    d_opacity_b[:] += jnp.sum(g_opacity, axis=0, keepdims=True)
+    acc_tn(d_bottleneck, h_last, dbottleneck)
+    acc_bias(d_bottleneck_b, dbottleneck)
+    acc_tn(d_opacity, h_last, g_opacity)
+    acc_bias(d_opacity_b, g_opacity)
 
     dh = (_dot(dbottleneck, bottleneck_w, transpose_b=True)
           + _dot(g_opacity, opacity_w, transpose_b=True))
@@ -262,27 +285,24 @@ def _bwd_kernel(config, positions_ref, views_ref, pos_enc_ref,
     for i in range(num_layers - 1, 0, -1):
         h_i = h_list[i]
         h_prev = h_list[i - 1]
-        dz = (dh * (h_i > 0)).astype(compute_dtype)
+        dz = (dh * _relu_mask(h_i)).astype(compute_dtype)
         kind, idx = layer_kinds[i - 1]
         if kind == "skip":
-            d_skip[idx][0][:] += _dot_tn(h_prev, dz)
+            acc_tn(d_skip[idx][0], h_prev, dz)
             for k, feat in enumerate(enc):
-                d_skip[idx][1 + k][:] += _dot_tn(feat, dz)
-            d_skip_b[idx][:] += jnp.sum(dz.astype(jnp.float32), axis=0,
-                                        keepdims=True)
+                acc_tn(d_skip[idx][1 + k], feat, dz)
+            acc_bias(d_skip_b[idx], dz)
             dh = _dot(dz, skip_parts[idx][0], transpose_b=True)
         else:
-            d_mid[idx][:] += _dot_tn(h_prev, dz)
-            d_mid_b[idx][:] += jnp.sum(dz.astype(jnp.float32), axis=0,
-                                       keepdims=True)
+            acc_tn(d_mid[idx], h_prev, dz)
+            acc_bias(d_mid_b[idx], dz)
             dh = _dot(dz, mid_w[idx], transpose_b=True)
 
     # first layer
-    dz0 = (dh * (h_list[0] > 0)).astype(compute_dtype)
+    dz0 = (dh * _relu_mask(h_list[0])).astype(compute_dtype)
     for k, feat in enumerate(enc):
-        d_first[k][:] += _dot_tn(feat, dz0)
-    d_first_b[:] += jnp.sum(dz0.astype(jnp.float32), axis=0,
-                            keepdims=True)
+        acc_tn(d_first[k], feat, dz0)
+    acc_bias(d_first_b, dz0)
 
 
 @functools.partial(jax.jit,
@@ -325,9 +345,13 @@ def _bwd_call(model_static, weights: FusedNeRFWeights, positions,
                 + [const_spec(w.shape) for w in weight_inputs]
                 + [tile_spec(8), tile_spec(8)])
 
-    out_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32)
+    def padded_shape(w):
+        # outputs must respect the 8-sublane minimum tile
+        return (max(w.shape[0], 8), w.shape[1])
+
+    out_shapes = [jax.ShapeDtypeStruct(padded_shape(w), jnp.float32)
                   for w in weight_inputs]
-    out_specs = [const_spec(w.shape) for w in weight_inputs]
+    out_specs = [const_spec(padded_shape(w)) for w in weight_inputs]
 
     grads = pl.pallas_call(
         functools.partial(_bwd_kernel, config),
@@ -343,7 +367,8 @@ def _bwd_call(model_static, weights: FusedNeRFWeights, positions,
     # cotangents must carry the primal dtypes (bf16 weight grads are
     # upcast again by the packing function's transpose before Adam)
     flat_primals = weight_inputs
-    grads = [g.astype(p.dtype) for g, p in zip(grads, flat_primals)]
+    grads = [g[:p.shape[0]].astype(p.dtype)
+             for g, p in zip(grads, flat_primals)]
     it = iter(grads)
 
     def take(n):

@@ -59,7 +59,8 @@ class Raycaster:
     fits the field to a ray dataset."""
 
     def __init__(self, model: Model, compute_dtype=None,
-                 fused: bool = False, remat: bool = False):
+                 fused: bool = False, fused_train: bool = False,
+                 remat: bool = False):
         """Constructor.
 
         Args:
@@ -67,11 +68,14 @@ class Raycaster:
             compute_dtype: optional matmul dtype for the model's MLP
                 body (e.g. jnp.bfloat16 for MXU speed); None keeps
                 full f32 parity.
-            fused: route NeRF forward passes through the Pallas fused
-                kernels — the inference kernel for renders
-                (ops/fused_nerf.py) and the custom-VJP
-                recompute-backward kernel for single-mesh training
-                (ops/fused_nerf_train.py).
+            fused: route NeRF *inference* renders through the Pallas
+                fused kernel (ops/fused_nerf.py) — ~2x over XLA.
+            fused_train: route NeRF *training* forwards through the
+                custom-VJP recompute-backward kernel
+                (ops/fused_nerf_train.py). Off by default: at typical
+                ray-batch sizes the XLA autodiff step is faster on
+                v5e; the fused path wins when activation memory, not
+                time, is the binding constraint.
             remat: rematerialize the model forward in the backward
                 pass (jax.checkpoint) on the XLA training path —
                 trades FLOPs for activation memory, enabling larger
@@ -84,6 +88,7 @@ class Raycaster:
         self._fused_weights = None
         self._fused_params_id = None
         self.fused = fused and model.model_type == "nerf"
+        self.fused_train = fused_train and model.model_type == "nerf"
 
     def _get_fused_weights(self, params):
         """Host-side fused-weight preparation, cached per params
@@ -267,7 +272,7 @@ class Raycaster:
         """Differentiable forward for training: the Pallas fused
         custom-VJP kernel when enabled (single-mesh NeRF), otherwise
         the XLA autodiff path."""
-        if not self.fused:
+        if not self.fused_train:
             if self.remat:
                 return jax.checkpoint(
                     lambda p: self.render(p, rays, include_depth=False)
@@ -307,7 +312,16 @@ class Raycaster:
     def _make_train_step(self, dataset: RayDataset, batch_size: int,
                          learning_rate: float, decay_rate: float,
                          decay_steps: int, weight_decay: float,
-                         mesh=None):
+                         mesh=None, steps_per_call: int = 1):
+        """Builds the jitted training step.
+
+        With ``steps_per_call > 1`` the returned function runs that
+        many optimization steps inside ONE compiled call via
+        ``lax.scan`` — batch offsets advance (wrapping within the
+        permutation) and the step counter/LR schedule advance per
+        inner step. This amortizes per-dispatch runtime overhead,
+        which dominates on remote/tunneled TPU runtimes.
+        """
         sampler = dataset.sampler
         stratified = sampler.stratified
         # the fused kernel is not GSPMD-partitionable: use the XLA
@@ -315,7 +329,7 @@ class Raycaster:
         forward = (self._train_forward if mesh is None
                    else lambda p, r: self.render(p, r, False))
 
-        def step_fn(params, opt_state, perm, offset, step, rng):
+        def one_step(params, opt_state, perm, offset, step, rng):
             idx = jax.lax.dynamic_slice(perm, (offset,), (batch_size,))
             if mesh is not None:
                 idx = jax.lax.with_sharding_constraint(
@@ -335,7 +349,25 @@ class Raycaster:
                 clip_value=0.1, clip_norm=0.1)
             return params, opt_state, loss
 
-        return jax.jit(step_fn, donate_argnums=(0, 1))
+        if steps_per_call <= 1:
+            return jax.jit(one_step, donate_argnums=(0, 1))
+
+        def multi_step(params, opt_state, perm, offset, step, rng):
+            modulo = max(perm.shape[0] - batch_size + 1, 1)
+
+            def body(carry, k):
+                params, opt_state = carry
+                k_offset = (offset + k * batch_size) % modulo
+                params, opt_state, loss = one_step(
+                    params, opt_state, perm, k_offset, step + k, rng)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state),
+                jnp.arange(steps_per_call, dtype=jnp.int32))
+            return params, opt_state, losses[-1]
+
+        return jax.jit(multi_step, donate_argnums=(0, 1))
 
     def _make_loss_fn(self, dataset: RayDataset, batch_size: int):
         sampler = dataset.sampler
@@ -381,7 +413,8 @@ class Raycaster:
             mesh=None, seed: int = 0, metric_logger=None,
             checkpoint_dir: Optional[str] = None,
             checkpoint_interval: Optional[int] = None,
-            resume: bool = False) -> Tuple[dict, List[LogEntry]]:
+            resume: bool = False,
+            steps_per_call: int = 1) -> Tuple[dict, List[LogEntry]]:
         """Fits the model to the dataset (ray_caster.py:248-377 parity).
 
         Args:
@@ -407,6 +440,10 @@ class Raycaster:
             resume: restore the newest checkpoint in
                 ``checkpoint_dir`` before training (exact optimizer
                 state; the epoch shuffle restarts).
+            steps_per_call: optimization steps per compiled call
+                (lax.scan inside one jit). Values > 1 amortize
+                per-dispatch runtime overhead; reports, visualizers
+                and checkpoints then land on chunk boundaries.
 
         Returns:
             (params, log) — final parameters and LogEntry list.
@@ -448,9 +485,10 @@ class Raycaster:
                                     replicated)
             opt_state = jax.device_put(opt_state, replicated)
 
+        chunk = max(1, min(steps_per_call, report_interval))
         train_step = self._make_train_step(
             train_dataset, batch_size, learning_rate, decay_rate,
-            decay_steps, weight_decay, mesh)
+            decay_steps, weight_decay, mesh, steps_per_call=chunk)
         val_loss_fns = {}
 
         def validate(dataset, step):
@@ -481,15 +519,24 @@ class Raycaster:
             num_batches = len(pool) // batch_size
 
             restart_epoch = False
-            for batch_num in range(num_batches):
+            for batch_num in range(0, max(num_batches, chunk), chunk):
                 if step > num_steps or restart_epoch:
                     break
                 params, opt_state, loss = train_step(
                     params, opt_state, perm,
                     jnp.asarray(batch_num * batch_size, jnp.int32),
                     jnp.asarray(step, jnp.int32), strat_key)
+                prev_step = step
+                step = step + chunk - 1  # last executed step
 
-                if step < 10 or step % report_interval == 0:
+                if chunk == 1:
+                    report_due = (step < 10
+                                  or step % report_interval == 0)
+                else:
+                    report_due = (step // report_interval
+                                  > (prev_step - 1) // report_interval)
+
+                if report_due:
                     train_psnr = validate(trainval_dataset, step)
                     val_psnr = validate(val_dataset, step)
                     current_time = time.time()
@@ -504,7 +551,7 @@ class Raycaster:
                         metric_logger("psnr_val", val_psnr)
                         metric_logger("time_per_step", time_per_step)
 
-                    if step % report_interval == 0:
+                    if chunk > 1 or step % report_interval == 0:
                         state = jax.tree.map(np.asarray, params)
                         log.append(LogEntry(step,
                                             current_time - start_time,
@@ -521,7 +568,7 @@ class Raycaster:
 
                 if (checkpoint_dir and checkpoint_interval
                         and step > start_step
-                        and step % checkpoint_interval == 0):
+                        and (step % checkpoint_interval) < chunk):
                     save_train_state(
                         os.path.join(checkpoint_dir,
                                      f"ckpt_{step:08d}.npz"),

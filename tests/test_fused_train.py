@@ -85,7 +85,7 @@ def test_fused_fit_trains(nerf):
 
         results = {}
         for fused in (False, True):
-            caster = ffn.Raycaster(model, fused=fused)
+            caster = ffn.Raycaster(model, fused_train=fused)
             p = model.init(jax.random.PRNGKey(1))
             p, log = caster.fit(p, train, val, batch_size=128,
                                 learning_rate=1e-3, num_steps=30,
