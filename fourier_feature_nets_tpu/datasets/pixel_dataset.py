@@ -138,4 +138,5 @@ class PixelDataset:
         (pixel_dataset.py:189-199)."""
         mse = float(jnp.mean(jnp.square(jnp.asarray(colors).reshape(
             self.val_color.shape) - self.val_color)))
-        return -10 * math.log10(mse)
+        # guard the perfect-reconstruction case (log10(0))
+        return -10 * math.log10(max(mse, 1e-10))
