@@ -81,19 +81,30 @@ def main():
     results = {}
     key = jax.random.PRNGKey(0)
 
-    # --- render: fused Pallas kernel (bf16) ---
+    # --- render: fused Pallas kernel (bf16), scan-amortized ---
     weights = prepare_fused_nerf(model, params, dtype=jnp.bfloat16)
     pos, views, t = make_rays(key, render_rays)
+    render_scan = 10
 
     @jax.jit
     def render_fused(pos, views, t, carry):
-        flat = fused_nerf_apply(model, weights, pos.reshape(-1, 3)
-                                + carry * 0.0, views.reshape(-1, 3))
-        out = _composite(flat.reshape(render_rays, num_samples, 4), t,
-                         False)
-        return jnp.sum(out.color) * 1e-9
+        def body(c, _):
+            flat = fused_nerf_apply(model, weights,
+                                    pos.reshape(-1, 3) + c * 0.0,
+                                    views.reshape(-1, 3))
+            out = _composite(flat.reshape(render_rays, num_samples, 4),
+                             t, False)
+            return jnp.sum(out.color) * 1e-9, None
+        carry, _ = jax.lax.scan(body, carry,
+                                jnp.arange(render_scan, dtype=jnp.int32))
+        return carry
 
-    dt = _bench_chain(render_fused, pos, views, t)
+    carry = render_fused(pos, views, t, jnp.float32(0.0))
+    float(carry)
+    start = time.perf_counter()
+    carry = render_fused(pos, views, t, carry)
+    float(carry)
+    dt = (time.perf_counter() - start) / render_scan
     results["render_fused_bf16"] = render_rays / dt
     print(f"render fused bf16: {dt * 1e3:.2f} ms, "
           f"{render_rays / dt / 1e6:.3f} Mrays/s", file=sys.stderr)
