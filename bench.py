@@ -99,15 +99,19 @@ def main():
                                 jnp.arange(render_scan, dtype=jnp.int32))
         return carry
 
-    carry = render_fused(pos, views, t, jnp.float32(0.0))
-    float(carry)
-    start = time.perf_counter()
-    carry = render_fused(pos, views, t, carry)
-    float(carry)
-    dt = (time.perf_counter() - start) / render_scan
-    results["render_fused_bf16"] = render_rays / dt
-    print(f"render fused bf16: {dt * 1e3:.2f} ms, "
-          f"{render_rays / dt / 1e6:.3f} Mrays/s", file=sys.stderr)
+    try:
+        carry = render_fused(pos, views, t, jnp.float32(0.0))
+        float(carry)
+        start = time.perf_counter()
+        carry = render_fused(pos, views, t, carry)
+        float(carry)
+        dt = (time.perf_counter() - start) / render_scan
+        results["render_fused_bf16"] = render_rays / dt
+        print(f"render fused bf16: {dt * 1e3:.2f} ms, "
+              f"{render_rays / dt / 1e6:.3f} Mrays/s", file=sys.stderr)
+    except Exception as error:
+        print(f"render fused: failed ({str(error)[:200]})",
+              file=sys.stderr)
 
     # --- render: plain XLA path (bf16 body) ---
     caster_bf16 = Raycaster(model, compute_dtype=jnp.bfloat16)
@@ -118,10 +122,14 @@ def main():
         out = caster_bf16.render(params, samples, include_depth=False)
         return jnp.sum(out.color) * 1e-9
 
-    dt = _bench_chain(render_xla, pos, views, t)
-    results["render_xla_bf16"] = render_rays / dt
-    print(f"render xla bf16:   {dt * 1e3:.2f} ms, "
-          f"{render_rays / dt / 1e6:.3f} Mrays/s", file=sys.stderr)
+    try:
+        dt = _bench_chain(render_xla, pos, views, t)
+        results["render_xla_bf16"] = render_rays / dt
+        print(f"render xla bf16:   {dt * 1e3:.2f} ms, "
+              f"{render_rays / dt / 1e6:.3f} Mrays/s", file=sys.stderr)
+    except Exception as error:
+        print(f"render xla: failed ({str(error)[:200]})",
+              file=sys.stderr)
 
     # --- training step (bf16 body, full clipped-Adam update) ---
     # timed as a 50-step lax.scan inside ONE compiled call: true
@@ -191,7 +199,8 @@ def main():
             print(f"train {label}: failed ({str(error)[:200]})",
                   file=sys.stderr)
 
-    headline = results["render_fused_bf16"]
+    headline = results.get("render_fused_bf16",
+                           results.get("render_xla_bf16", 0.0))
     per_chip_target = 12.8e6 / 8  # north star: 800^2 @ 20 FPS on v5e-8
     print(json.dumps({
         "metric": "nerf_render_rays_per_sec_per_chip",

@@ -40,6 +40,7 @@ class ImageDataset(RayDataset):
         self._mode = Mode.Full
         self._label = label
         self._images = images
+        self._subsample_index = None
         self.include_alpha = include_alpha
         self.image_height, self.image_width = images.shape[1:3]
         self.sparse_size = sparse_size
@@ -154,6 +155,18 @@ class ImageDataset(RayDataset):
         self._mode = value
 
     @property
+    def subsample_index(self):
+        """Optional set of per-camera pixel indices to restrict
+        sampling to (ray_dataset.py:81-89 parity; used by scene
+        inspection paths)."""
+        return self._subsample_index
+
+    @subsample_index.setter
+    def subsample_index(self, index):
+        self._subsample_index = (None if index is None
+                                 else set(int(i) for i in index))
+
+    @property
     def num_cameras(self) -> int:
         """Number of cameras."""
         return self.sampler.num_cameras
@@ -213,6 +226,10 @@ class ImageDataset(RayDataset):
         idx = np.asarray(idx)
         if self._mode != Mode.Full:
             idx = self._mode_index(self._mode)[idx]
+        if self._subsample_index:
+            keep = np.isin(idx % self.sampler.rays_per_camera,
+                           np.fromiter(self._subsample_index, np.int64))
+            idx = idx[keep]
         idx = self.sampler.to_valid(idx)
         return self.sampler.sample(jnp.asarray(idx), step, rng)
 
