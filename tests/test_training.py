@@ -189,3 +189,21 @@ class TestHierarchicalSampling:
         if through_center.any():
             frac_near = (dist[through_center] < 0.5).mean()
             assert frac_near > 0.5, frac_near
+
+
+def test_steps_per_call_chunked_fit(datasets):
+    """Chunked (scan) fit trains comparably to single-step fit."""
+    train, val = datasets
+    results = {}
+    for spc in (1, 20):
+        model = Voxels(side=12, scale=1.0)
+        caster = ffn.Raycaster(model)
+        params, log = caster.fit(model.init(jax.random.PRNGKey(0)),
+                                 train, val, batch_size=256,
+                                 learning_rate=0.05, num_steps=100,
+                                 crop_steps=0, report_interval=50,
+                                 decay_rate=0.9, decay_steps=25000,
+                                 steps_per_call=spc)
+        results[spc] = log[-1].val_psnr
+    # same budget, same data: within a dB of each other
+    assert abs(results[1] - results[20]) < 1.5, results
