@@ -15,6 +15,7 @@ from .sampling import (
     anneal_near_far,
     batch_linspace,
     determine_cdf,
+    inverse_cdf_from_bins,
     inverse_cdf_t_values,
     sample_positions,
     uniform_t_values,
@@ -38,6 +39,7 @@ __all__ = [
     "anneal_near_far",
     "batch_linspace",
     "determine_cdf",
+    "inverse_cdf_from_bins",
     "inverse_cdf_t_values",
     "sample_positions",
     "uniform_t_values",
