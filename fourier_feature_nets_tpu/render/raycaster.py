@@ -164,35 +164,41 @@ class Raycaster:
                        include_depth: bool) -> RenderResult:
         """Chunked no-grad rendering of arbitrarily many rays.
 
-        The last chunk is padded to ``batch_size`` so every chunk
-        reuses one compiled executable (fixed shapes), then unpadded
-        (replaces ray_caster.py:103-138's variable final batch).
+        Everything stays on device: the ray tensors are padded to a
+        multiple of ``batch_size`` once, sliced per chunk as device
+        ops, and only the small per-ray OUTPUTS transfer to host (the
+        reference ships the full ray geometry host<->device per chunk,
+        ray_caster.py:103-138).
         """
         render_fn = self._render_jit(include_depth)
         model_arg = (self._get_fused_weights(params) if self.fused
                      else params)
         num_rays = samples.positions.shape[0]
-        colors, alphas, depths = [], [], []
-        pos, views, t_values = (np.asarray(samples.positions),
-                                np.asarray(samples.view_directions),
-                                np.asarray(samples.t_values))
-        for start in range(0, num_rays, batch_size):
-            end = min(start + batch_size, num_rays)
-            pad = batch_size - (end - start)
-            p = np.pad(pos[start:end], ((0, pad), (0, 0), (0, 0)))
-            v = np.pad(views[start:end], ((0, pad), (0, 0), (0, 0)))
-            t = np.pad(t_values[start:end], ((0, pad), (0, 0)))
-            color, alpha, depth = render_fn(model_arg, jnp.asarray(p),
-                                            jnp.asarray(v), jnp.asarray(t))
-            take = end - start
-            colors.append(np.asarray(color)[:take])
-            alphas.append(np.asarray(alpha)[:take])
-            if include_depth:
-                depths.append(np.asarray(depth)[:take])
+        pad = (-num_rays) % batch_size
+        pos = jnp.asarray(samples.positions)
+        views = jnp.asarray(samples.view_directions)
+        t_values = jnp.asarray(samples.t_values)
+        if pad:
+            pos = jnp.pad(pos, ((0, pad), (0, 0), (0, 0)))
+            views = jnp.pad(views, ((0, pad), (0, 0), (0, 0)))
+            t_values = jnp.pad(t_values, ((0, pad), (0, 0)))
 
-        return RenderResult(
-            np.concatenate(colors), np.concatenate(alphas),
-            np.concatenate(depths) if include_depth else None)
+        colors, alphas, depths = [], [], []
+        for start in range(0, num_rays + pad, batch_size):
+            end = start + batch_size
+            color, alpha, depth = render_fn(
+                model_arg, pos[start:end], views[start:end],
+                t_values[start:end])
+            colors.append(color)
+            alphas.append(alpha)
+            if include_depth:
+                depths.append(depth)
+
+        color = np.asarray(jnp.concatenate(colors))[:num_rays]
+        alpha = np.asarray(jnp.concatenate(alphas))[:num_rays]
+        depth = (np.asarray(jnp.concatenate(depths))[:num_rays]
+                 if include_depth else None)
+        return RenderResult(color, alpha, depth)
 
     def render_image(self, params, sampler: RaySampler, index: int,
                      batch_size: int, color_space: str = "RGB") -> np.ndarray:
