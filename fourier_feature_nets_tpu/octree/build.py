@@ -17,8 +17,10 @@ _FAILED = False
 
 
 def _lib_path() -> str:
+    # ".so.lib" suffix: loadable by ctypes but NOT importable as a
+    # Python extension module (pkgutil walks would otherwise try)
     src_dir = os.path.dirname(os.path.abspath(__file__))
-    return os.path.join(src_dir, f"_octree_native_{sys.platform}.so")
+    return os.path.join(src_dir, f"octree_native_{sys.platform}.so.lib")
 
 
 def _source_path() -> str:
