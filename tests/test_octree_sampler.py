@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from fourier_feature_nets_tpu.cameras import CameraInfo, Resolution
+from fourier_feature_nets_tpu.cameras import Resolution
 from fourier_feature_nets_tpu.octree import OcTree
 from fourier_feature_nets_tpu.render.octree_sampler import (
     OctreeRaySampler,

@@ -3,7 +3,6 @@
 import os
 
 import jax
-import numpy as np
 import pytest
 
 import fourier_feature_nets_tpu as ffn
