@@ -9,7 +9,9 @@ import sys
 
 def check(path: str) -> int:
     issues = 0
-    tree = ast.parse(open(path).read())
+    source = open(path).read()
+    lines = source.split("\n")
+    tree = ast.parse(source)
     imported = {}
     for node in ast.walk(tree):
         if isinstance(node, ast.Import):
@@ -31,7 +33,7 @@ def check(path: str) -> int:
             if isinstance(base, ast.Name):
                 used.add(base.id)
     for name, line in sorted(imported.items(), key=lambda kv: kv[1]):
-        if name not in used:
+        if name not in used and "noqa" not in lines[line - 1]:
             print(f"{path}:{line}: unused import '{name}'")
             issues += 1
     return issues
