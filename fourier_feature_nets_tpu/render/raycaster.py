@@ -401,15 +401,18 @@ class Raycaster:
             val_index = dataset._mode_index(dataset.mode)[val_index]
         val_index = dataset.to_valid(val_index)
 
-        losses = []
-        for start in range(0, len(val_index), batch_size):
-            if start + batch_size > len(val_index):
-                break
-            batch = jnp.asarray(val_index[start:start + batch_size])
-            losses.append(float(loss_fn(params, batch,
-                                        jnp.asarray(step, jnp.int32))))
-        mean_loss = float(np.mean(losses))
-        return float(-10.0 * np.log10(mean_loss))
+        num_batches = len(val_index) // batch_size
+        if num_batches == 0:
+            return float("nan")
+        # all chunk losses stay on device; ONE host sync at the end
+        batches = jnp.asarray(
+            val_index[:num_batches * batch_size]).reshape(
+                num_batches, batch_size)
+        step = jnp.asarray(step, jnp.int32)
+        losses = [loss_fn(params, batches[i], step)
+                  for i in range(num_batches)]
+        mean_loss = float(jnp.mean(jnp.stack(losses)))
+        return float(-10.0 * np.log10(max(mean_loss, 1e-10)))
 
     def fit(self, params, train_dataset: RayDataset,
             val_dataset: RayDataset, batch_size: int,
