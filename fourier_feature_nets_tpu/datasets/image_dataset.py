@@ -64,6 +64,15 @@ class ImageDataset(RayDataset):
         sparse_points = self._subsample_rays(sparse_size)
         self.sparse_rays_per_camera = len(sparse_points)
 
+        # patch grid: the reference DECLARES Patch mode but never
+        # implements it (ray_dataset.py:34, raises at
+        # image_dataset.py:293). Here it works: pixels ordered
+        # patch-major so that contiguous ray batches cover whole
+        # patches (useful for patch/perceptual losses).
+        self.patch_size = 8
+        patch_points = self._patch_rays(self.patch_size)
+        self.patch_rays_per_camera = len(patch_points)
+
         # alpha-mask dilation stencil (image_dataset.py:99-101)
         stencil_radius = 8 * min(self.image_width, self.image_height) // 100
         stencil_size = 2 * stencil_radius + 1
@@ -72,6 +81,7 @@ class ImageDataset(RayDataset):
         alphas = []
         crop_index = []
         sparse_index = []
+        patch_index = []
         dilate_index = []
         self.dilate_ranges = []
         num_dilate = 0
@@ -104,9 +114,11 @@ class ImageDataset(RayDataset):
 
             crop_index.append(crop_points + offset)
             sparse_index.append(sparse_points + offset)
+            patch_index.append(patch_points + offset)
 
         self.crop_index = np.concatenate(crop_index)
         self.sparse_index = np.concatenate(sparse_index)
+        self.patch_index = np.concatenate(patch_index)
         self.dilate_index = (np.concatenate(dilate_index)
                              if dilate_index else np.array([], np.int64))
 
@@ -150,8 +162,6 @@ class ImageDataset(RayDataset):
         if value == Mode.Dilate and len(self.dilate_index) == 0:
             raise ValueError(
                 "Unable to use dilate mode: missing alpha channel")
-        if value == Mode.Patch:
-            raise NotImplementedError("Unsupported sampling mode")
         self._mode = value
 
     @property
@@ -192,6 +202,8 @@ class ImageDataset(RayDataset):
             return self.sparse_index
         if mode == Mode.Dilate:
             return self.dilate_index
+        if mode == Mode.Patch:
+            return self.patch_index
         if mode == Mode.Full:
             return np.arange(self.sampler.num_rays)
         raise NotImplementedError("Unsupported sampling mode")
@@ -250,6 +262,10 @@ class ImageDataset(RayDataset):
             start = camera * self.sparse_rays_per_camera
             idx = self.sparse_index[
                 start:start + self.sparse_rays_per_camera]
+        elif self._mode == Mode.Patch:
+            start = camera * self.patch_rays_per_camera
+            idx = self.patch_index[
+                start:start + self.patch_rays_per_camera]
         else:
             raise NotImplementedError("Unsupported sampling mode")
         idx = self.sampler.to_valid(idx)
@@ -292,6 +308,21 @@ class ImageDataset(RayDataset):
     # ------------------------------------------------------------------
     # construction
     # ------------------------------------------------------------------
+
+    def _patch_rays(self, patch_size: int) -> np.ndarray:
+        """Pixel indices reordered patch-major: consecutive runs of
+        patch_size**2 indices tile one square patch."""
+        height = (self.image_height // patch_size) * patch_size
+        width = (self.image_width // patch_size) * patch_size
+        ys, xs = np.meshgrid(np.arange(height), np.arange(width),
+                             indexing="ij")
+        order = np.lexsort((xs.reshape(-1) % patch_size,
+                            ys.reshape(-1) % patch_size,
+                            xs.reshape(-1) // patch_size,
+                            ys.reshape(-1) // patch_size))
+        flat = (ys.reshape(-1) * self.image_width
+                + xs.reshape(-1))[order]
+        return flat.astype(np.int64)
 
     def _subsample_rays(self, resolution: int) -> np.ndarray:
         """Sparse pixel grid indices (image_dataset.py:473-482)."""

@@ -146,9 +146,25 @@ class TestImageDatasetModes:
         assert center_len < full_len
         assert full_len == train_dataset.sampler.num_rays
 
-    def test_patch_mode_rejected(self, train_dataset):
-        with pytest.raises(NotImplementedError):
-            train_dataset.mode = Mode.Patch
+    def test_patch_mode_tiles_patches(self, train_dataset):
+        """Patch mode (declared but unimplemented in the reference,
+        ray_dataset.py:34 / image_dataset.py:293): consecutive runs of
+        patch_size**2 indices tile one square patch."""
+        train_dataset.mode = Mode.Patch
+        try:
+            k = train_dataset.patch_size
+            pool = train_dataset._mode_index(Mode.Patch)
+            w = train_dataset.image_width
+            first = pool[:k * k] % train_dataset.sampler.rays_per_camera
+            xs, ys = first % w, first // w
+            assert xs.max() - xs.min() == k - 1
+            assert ys.max() - ys.min() == k - 1
+            assert len(set(map(tuple, np.stack([xs, ys], -1)))) == k * k
+            # usable end-to-end
+            rays = train_dataset.get_rays(np.arange(k * k), 0)
+            assert rays.positions.shape[0] <= k * k
+        finally:
+            train_dataset.mode = Mode.Full
 
     def test_render_zeroes_background(self, train_dataset):
         alphas = np.asarray(train_dataset.alphas)
