@@ -284,8 +284,11 @@ def _kernel(config, positions_ref, views_ref, pos_enc_ref, view_enc_ref,
             acc += _dot(feat, w_ref)
         return acc
 
-    h = jnp.maximum(enc_dot(first_parts) + first_b[:], 0.0)
-    h = h.astype(compute_dtype)
+    # relu commutes with the (monotone, round-to-nearest) downcast:
+    # applying it AFTER the bf16 cast saves one full-width f32 VPU
+    # pass per layer
+    h = jnp.maximum((enc_dot(first_parts)
+                     + first_b[:]).astype(compute_dtype), 0.0)
 
     mid_iter = 0
     skip_iter = 0
@@ -298,7 +301,7 @@ def _kernel(config, positions_ref, views_ref, pos_enc_ref, view_enc_ref,
         else:
             acc = _dot(h, mid_w[mid_iter]) + mid_b[mid_iter][:]
             mid_iter += 1
-        h = jnp.maximum(acc, 0.0).astype(compute_dtype)
+        h = jnp.maximum(acc.astype(compute_dtype), 0.0)
 
     opacity = _dot(h, opacity_w) + opacity_b[:]
     bottleneck = (_dot(h, bottleneck_w)
