@@ -87,6 +87,12 @@ class PixelDataset:
         val = PixelData(jnp.asarray(val_uv), jnp.asarray(pixels))
         return PixelDataset(size, color_space, train, val)
 
+    def to(self, *args) -> "PixelDataset":
+        """API-compat no-op: data is device-resident already
+        (pixel_dataset.py:106-114 moves tensors in the reference)."""
+        del args
+        return self
+
     @staticmethod
     def generate_uvs(size: int) -> jnp.ndarray:
         """(size, size, 2) UV grid spanning [0, 2)."""

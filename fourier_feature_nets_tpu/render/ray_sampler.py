@@ -57,6 +57,17 @@ class RaySamples(NamedTuple):
         return RaySamples(*[None if t is None else np.asarray(t)
                             for t in self])
 
+    def to(self, *args) -> "RaySamples":
+        """API-compat no-op: JAX arrays are device-resident already
+        (the reference moves tensors host->GPU per batch,
+        ray_sampler.py:38-46)."""
+        del args
+        return self
+
+    def pin_memory(self) -> "RaySamples":
+        """API-compat no-op (no host staging buffers in JAX)."""
+        return self
+
 
 class RaySampler:
     """Samples points along camera rays cast into a bounded volume."""
