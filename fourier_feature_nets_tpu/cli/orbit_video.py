@@ -47,6 +47,11 @@ def _parse_args(argv=None):
                         help="Path to an octree NPZ (voxelize_model "
                              "output) for empty-space-skipping "
                              "sample placement")
+    parser.add_argument("--octree-mode", default="occupancy",
+                        choices=["occupancy", "traversal"],
+                        help="occupancy: dense occupancy-grid probes "
+                             "(fast); traversal: exact per-ray tree "
+                             "marching")
     parser.add_argument("--compute-dtype",
                         choices=["float32", "bfloat16"],
                         default="float32")
@@ -73,10 +78,16 @@ def main(argv=None):
 
     if args.octree:
         from ..octree import OcTree
-        from ..render import OctreeRaySampler
         tree = OcTree.load(args.octree)
-        sampler = OctreeRaySampler(tree, orbit_cameras,
-                                   args.num_samples, bounds=bounds)
+        if args.octree_mode == "occupancy":
+            from ..render.occupancy_sampler import OccupancyGridSampler
+            sampler = OccupancyGridSampler(tree, orbit_cameras,
+                                           args.num_samples,
+                                           bounds=bounds)
+        else:
+            from ..render import OctreeRaySampler
+            sampler = OctreeRaySampler(tree, orbit_cameras,
+                                       args.num_samples, bounds=bounds)
     else:
         if args.opacity_model:
             opacity_model, opacity_params = load_model(

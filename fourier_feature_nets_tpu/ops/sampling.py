@@ -95,9 +95,23 @@ def determine_cdf(t_values: jnp.ndarray,
     return jnp.concatenate([zero, cdf], axis=-1)
 
 
+def _rowwise_searchsorted_right(cdf: jnp.ndarray,
+                                quantiles: jnp.ndarray) -> jnp.ndarray:
+    """Per-row searchsorted(side='right') as a comparison-count.
+
+    For small bin counts this broadcast-and-sum formulation is orders
+    of magnitude faster on TPU than ``vmap(jnp.searchsorted)`` (which
+    lowers to per-row binary-search gathers): index = #{b: cdf_b <= q}.
+    """
+    hits = cdf[..., None, :] <= quantiles[..., :, None]
+    return jnp.sum(hits.astype(jnp.int32), axis=-1)
+
+
 def inverse_cdf_from_bins(t_edges: jnp.ndarray, cdf: jnp.ndarray,
                           num_samples: int,
-                          rng: jax.Array = None) -> jnp.ndarray:
+                          rng: jax.Array = None,
+                          stratified_quantiles: bool = False
+                          ) -> jnp.ndarray:
     """Inverse-transform sampling over explicit bin edges.
 
     Args:
@@ -106,20 +120,26 @@ def inverse_cdf_from_bins(t_edges: jnp.ndarray, cdf: jnp.ndarray,
             (cdf[:, 0] == 0, cdf[:, -1] == 1).
         num_samples: samples to draw per ray.
         rng: PRNG key for random quantiles; None = even spacing.
+        stratified_quantiles: draw one jittered quantile per stratum
+            ((k + u)/num_samples) instead of iid uniforms — the
+            output is then sorted by construction (no sort needed)
+            with lower variance.
 
     Returns:
         (R, num_samples) t values, linearly interpolated within bins.
     """
     num_rays = t_edges.shape[0]
-    if rng is not None:
-        quantiles = jax.random.uniform(rng, (num_rays, num_samples))
-    else:
+    if rng is None:
         quantiles = jnp.broadcast_to(
             jnp.linspace(0.0, 1.0, num_samples),
             (num_rays, num_samples))
+    elif stratified_quantiles:
+        jitter = jax.random.uniform(rng, (num_rays, num_samples))
+        quantiles = (jnp.arange(num_samples) + jitter) / num_samples
+    else:
+        quantiles = jax.random.uniform(rng, (num_rays, num_samples))
 
-    index = jax.vmap(partial(jnp.searchsorted, side="right"))(cdf,
-                                                              quantiles)
+    index = _rowwise_searchsorted_right(cdf, quantiles)
     i = jnp.maximum(index - 1, 0)
     j = jnp.minimum(index, cdf.shape[-1] - 1)
     cdf_i = jnp.take_along_axis(cdf, i, axis=-1)
@@ -163,7 +183,7 @@ def inverse_cdf_t_values(near: jnp.ndarray, far: jnp.ndarray,
         quantiles = jnp.broadcast_to(jnp.linspace(0.0, 1.0, num_samples),
                                      (num_rays, num_samples))
 
-    index = jax.vmap(partial(jnp.searchsorted, side="right"))(cdf, quantiles)
+    index = _rowwise_searchsorted_right(cdf, quantiles)
     i = jnp.maximum(index - 1, 0)
     j = jnp.minimum(index, cdf.shape[-1] - 1)
 

@@ -98,3 +98,58 @@ class TestOctreeRaySampler:
         sampler = OctreeRaySampler(tree, cameras, num_samples=16)
         image = caster.render_image(params, sampler, 0, batch_size=128)
         assert image.shape == (16, 16, 3)
+
+
+class TestOccupancyGridSampler:
+    def test_occupancy_grid_covers_leaves(self, tree):
+        from fourier_feature_nets_tpu.render.occupancy_sampler import (
+            occupancy_grid_from_tree,
+        )
+        grid = occupancy_grid_from_tree(tree, resolution=32, dilate=0)
+        centers = tree.leaf_centers()
+        cells = np.clip(((centers / tree.scale + 1) * 0.5 * 32)
+                        .astype(int), 0, 31)
+        occ = grid[cells[:, 2], cells[:, 1], cells[:, 0]]
+        assert occ.mean() > 0.99  # every leaf center marked occupied
+        assert grid.mean() < 0.5  # but the volume is mostly empty
+
+    def test_samples_concentrate(self, tree, cameras):
+        from fourier_feature_nets_tpu.render.occupancy_sampler import (
+            OccupancyGridSampler,
+        )
+        sampler = OccupancyGridSampler(tree, cameras, num_samples=32,
+                                       grid_resolution=32,
+                                       num_probes=32)
+        idx = sampler._valid_for_camera(0)
+        rays = sampler.sample(jnp.asarray(idx))
+        t = np.asarray(rays.t_values)
+        assert (np.diff(t, axis=-1) >= -1e-5).all()  # sorted
+        positions = np.asarray(rays.positions)
+        dist = np.linalg.norm(positions - np.array([0.4, 0.0, 0.0]),
+                              axis=-1)
+        hits = dist.min(-1) < 0.1
+        if hits.any():
+            assert (dist[hits] < 0.5).mean() > 0.5
+
+    def test_jit_and_render(self, tree, cameras):
+        import fourier_feature_nets_tpu as ffn
+        from fourier_feature_nets_tpu.models import Voxels
+        from fourier_feature_nets_tpu.render.occupancy_sampler import (
+            OccupancyGridSampler,
+        )
+        model = Voxels(side=8, scale=1.0)
+        params = model.init(jax.random.PRNGKey(0))
+        sampler = OccupancyGridSampler(tree, cameras, num_samples=16,
+                                       grid_resolution=32,
+                                       num_probes=16, stratified=True)
+
+        @jax.jit
+        def sample_fn(idx, key):
+            return sampler.sample(idx, rng=key)
+
+        rays = sample_fn(jnp.asarray(sampler._valid_for_camera(0)[:8]),
+                         jax.random.PRNGKey(0))
+        assert not np.isnan(np.asarray(rays.positions)).any()
+        image = ffn.Raycaster(model).render_image(params, sampler, 0,
+                                                  batch_size=128)
+        assert image.shape == (16, 16, 3)
