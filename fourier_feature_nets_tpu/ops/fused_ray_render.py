@@ -40,21 +40,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_nerf import (
-    FusedNeRFWeights,
-    _fast_sincos,
-    _phases,
-    prepare_fused_nerf,
-)
+from .fused_nerf import FusedNeRFWeights, _fast_sincos, _phases
 
-__all__ = ["fused_ray_render", "prepare_fused_ray_weights"]
-
-
-def prepare_fused_ray_weights(model, params, dtype=jnp.bfloat16):
-    """Packed weights + the constant aggregation matrices."""
-    weights = prepare_fused_nerf(model, params, dtype=dtype)
-    num_samples = None  # resolved at call time
-    return weights
+__all__ = ["fused_ray_render"]
 
 
 def _lane_iota(shape):

@@ -8,8 +8,6 @@ inverse-CDF focus sampling — expressed as pure, jit-safe functions of
 reference performs every training step (ray_caster.py:98).
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
