@@ -35,7 +35,8 @@ def _parse_args(argv=None):
                         help="Comma-separated values to try")
     parser.add_argument("--sweep-dir", required=True)
     parser.add_argument("--metric", default="psnr_val",
-                        choices=["psnr_val", "psnr_train"])
+                        choices=["psnr_val", "psnr_train", "val_loss",
+                                 "train_loss"])
     parser.add_argument("trainer_args", nargs="*",
                         help="Arguments forwarded to the trainer "
                              "(results_dir is injected per run)")
@@ -43,18 +44,26 @@ def _parse_args(argv=None):
 
 
 def best_metric_from_log(path: str, metric: str = "psnr_val") -> float:
-    """Parses the TSV run log and returns the best value of the
-    metric column."""
-    column = {"psnr_train": 2, "psnr_val": 3}[metric]
+    """Parses a TSV run log and returns the best value of the named
+    metric column (column located via the header row; psnr_* metrics
+    are maximized, *_loss metrics return the negated minimum so that
+    'bigger is better' holds uniformly)."""
+    minimize = metric.endswith("loss")
     best = float("-inf")
+    column = None
     with open(path) as file:
         for line in file:
             parts = line.strip().split("\t")
-            if len(parts) >= 4:
+            if column is None:
+                if metric in parts:
+                    column = parts.index(metric)
+                continue
+            if len(parts) > column:
                 try:
-                    best = max(best, float(parts[column]))
+                    value = float(parts[column])
                 except ValueError:
                     continue
+                best = max(best, -value if minimize else value)
     return best
 
 
