@@ -170,6 +170,11 @@ def main(argv=None):
     if writer is not None:
         writer.release()
 
+    with open(os.path.join(args.results_dir, "log.txt"), "w") as file:
+        file.write("step\tpsnr_val\n")
+        for step_num, psnr_val in log:
+            file.write(f"{step_num}\t{psnr_val}\n")
+
     save_model(model, params, os.path.join(args.results_dir, "model.npz"))
     return log
 

@@ -140,6 +140,11 @@ class RaySampler:
         model = self.opacity_model
         params = self.opacity_params
         num_grid = self.num_focus_samples
+        # batch_size mirrors the reference API (caps the opacity
+        # model's batch, ray_sampler.py:131) but tiny CLI defaults
+        # (1024-4096) would mean thousands of dispatches for big
+        # datasets: sweep in TPU-sized chunks instead.
+        sweep_batch = max(self.batch_size, 65536)
 
         @jax.jit
         def cdf_batch(starts, directions, near, far):
@@ -157,9 +162,9 @@ class RaySampler:
             return determine_cdf(t_values, opacity)
 
         cdfs = []
-        for start in range(0, self.num_rays, self.batch_size):
-            end = min(start + self.batch_size, self.num_rays)
-            pad = self.batch_size - (end - start)
+        for start in range(0, self.num_rays, sweep_batch):
+            end = min(start + sweep_batch, self.num_rays)
+            pad = sweep_batch - (end - start)
             sel = slice(start, end)
 
             def padded(x):
