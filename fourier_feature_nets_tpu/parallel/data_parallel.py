@@ -25,7 +25,8 @@ def make_shard_map_train_step(caster, dataset, batch_size: int,
                               learning_rate: float, decay_rate: float,
                               decay_steps: int, weight_decay: float,
                               mesh, clip_value: float = 0.1,
-                              clip_norm: float = 0.1):
+                              clip_norm: float = 0.1,
+                              fused: bool = False):
     """Builds a jitted shard_map training step.
 
     Each device receives ``batch_size / mesh.size`` rays (the global
@@ -37,6 +38,12 @@ def make_shard_map_train_step(caster, dataset, batch_size: int,
     approximately; to keep *exact* torch parity the local grads are
     pmean-reduced FIRST, then clipped — matching the single-device
     order of operations.
+
+    With ``fused=True`` each device runs the Pallas fused custom-VJP
+    NeRF kernels (ops/fused_nerf_train.py) on its ray shard — this is
+    how the fused training path composes with data parallelism (the
+    GSPMD partitioner cannot split a pallas_call, but shard_map places
+    one whole kernel per device).
 
     Returns:
         step(params, opt_state, idx, step_no, rng) ->
@@ -55,7 +62,10 @@ def make_shard_map_train_step(caster, dataset, batch_size: int,
         rays = sampler.sample(idx, step_no, step_rng)
 
         def loss_fn(p):
-            render = caster.render(p, rays, include_depth=False)
+            if fused:
+                render = caster._train_forward(p, rays)
+            else:
+                render = caster.render(p, rays, include_depth=False)
             return dataset.loss(idx, render)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

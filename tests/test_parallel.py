@@ -106,3 +106,37 @@ def test_fit_with_mesh_runs(scene):
                              mesh=mesh)
     assert len(log) >= 1
     assert np.isfinite(log[-1].val_psnr)
+
+
+def test_shard_map_fused_train_step(scene):
+    """Pallas fused custom-VJP kernels compose with shard_map DP: one
+    whole kernel per device shard, gradients pmean'd."""
+    from fourier_feature_nets_tpu.models import NeRF
+    mesh = make_mesh(jax.devices("cpu"))
+    model = NeRF(num_layers=2, num_channels=32, max_log_scale_pos=3.0,
+                 num_freq_pos=4, max_log_scale_view=1.0, num_freq_view=2,
+                 skips=[1], include_inputs=True)
+    # num_samples=16 * 16-rays/shard = 256 points: pad to fused tile
+    caster = ffn.Raycaster(model, fused_train=True)
+    params = model.init(jax.random.PRNGKey(0))
+
+    dp_step = make_shard_map_train_step(caster, scene, 128, 5e-4, 0.1,
+                                        250000, 0.0, mesh, fused=True)
+    params_r = replicate(jax.tree.map(jnp.copy, params), mesh)
+    opt_r = replicate(adam_init(params), mesh)
+    idx = shard_rays(jnp.asarray(scene.index_pool()[:128]
+                                 .astype(np.int32)), mesh)
+    p, o, loss = dp_step(params_r, opt_r, idx,
+                         jnp.asarray(0, jnp.int32),
+                         jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+
+    # parity vs the unfused shard_map step on the same batch
+    dp_plain = make_shard_map_train_step(
+        ffn.Raycaster(model), scene, 128, 5e-4, 0.1, 250000, 0.0, mesh)
+    p2, o2, loss2 = dp_plain(replicate(jax.tree.map(jnp.copy, params),
+                                       mesh),
+                             replicate(adam_init(params), mesh), idx,
+                             jnp.asarray(0, jnp.int32),
+                             jax.random.PRNGKey(0))
+    assert float(loss) == pytest.approx(float(loss2), rel=1e-3)
