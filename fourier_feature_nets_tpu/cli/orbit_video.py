@@ -55,6 +55,10 @@ def _parse_args(argv=None):
     parser.add_argument("--compute-dtype",
                         choices=["float32", "bfloat16"],
                         default="float32")
+    parser.add_argument("--chunked", action="store_true",
+                        help="Use the per-chunk dispatch render path "
+                             "(render_image) instead of the default "
+                             "single-dispatch whole-frame renderer")
     return parser.parse_args(argv)
 
 
@@ -104,8 +108,12 @@ def main(argv=None):
     progress = ETABar("Rendering", max=args.num_frames)
     for frame in range(args.num_frames):
         progress.next()
-        image = raycaster.render_image(params, sampler, frame,
-                                       args.batch_size)
+        if args.chunked:
+            image = raycaster.render_image(params, sampler, frame,
+                                           args.batch_size)
+        else:
+            image = raycaster.render_frame(params, sampler, frame,
+                                           chunk_size=args.batch_size * 4)
         path = os.path.join(args.output_dir,
                             "frame_{:05d}.png".format(frame))
         cv2.imwrite(path, cv2.cvtColor(image, cv2.COLOR_RGB2BGR))

@@ -245,9 +245,48 @@ class RaySampler:
         start = camera * self.rays_per_camera
         return self.to_valid(np.arange(start, start + self.rays_per_camera))
 
+    def _sample_compiled(self, idx: jnp.ndarray) -> RaySamples:
+        """Jitted ``sample`` for host-driven (eager) callers.
+
+        Eager sampling dispatches every jnp op separately and
+        materializes the bracketing masks unfused — orders of
+        magnitude slower through a high-latency runtime. The sampler's
+        device arrays are passed as jit ARGUMENTS (not closure
+        constants) so whole-orbit geometry never bloats the compile
+        payload; see Raycaster._frame_fn for the same pattern.
+        """
+        if getattr(self, "_jit_sample", None) is None:
+            import copy
+
+            arrays = {name: value for name, value in vars(self).items()
+                      if isinstance(value, jnp.ndarray)}
+
+            @jax.jit
+            def sample_fn(geometry, idx):
+                traced = copy.copy(self)
+                for name, value in geometry.items():
+                    object.__setattr__(traced, name, value)
+                return traced.sample(idx)
+
+            self._jit_sample = (sample_fn, arrays)
+        sample_fn, arrays = self._jit_sample
+        return sample_fn(arrays, idx)
+
     def rays_for_camera(self, camera: int) -> RaySamples:
-        """Returns (deterministic) samples for one camera's valid rays."""
-        return self.sample(jnp.asarray(self._valid_for_camera(camera)))
+        """Returns (deterministic) samples for one camera's valid rays.
+
+        Sampling runs at the fixed shape ``rays_per_camera`` (the
+        valid set is padded with ray 0 and sliced off afterwards) so
+        one compiled executable serves every camera — per-camera
+        valid-ray counts would otherwise recompile per frame.
+        """
+        idx = self._valid_for_camera(camera)
+        pad = self.rays_per_camera - idx.shape[0]
+        if pad:
+            padded = np.pad(idx, (0, pad))
+            rays = self._sample_compiled(jnp.asarray(padded))
+            return rays.subset(slice(0, idx.shape[0]))
+        return self._sample_compiled(jnp.asarray(idx))
 
     def __len__(self) -> int:
         """Total number of rays (valid or not)."""

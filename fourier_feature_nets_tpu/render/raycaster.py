@@ -208,6 +208,104 @@ class Raycaster:
         pred = self.batched_render(params, samples, batch_size, False)
         return sampler.to_image(camera, pred.color, color_space)
 
+    def _frame_fn(self, sampler: RaySampler, chunk_size: int):
+        """Builds (and caches) the single-dispatch frame renderer for
+        one sampler geometry."""
+        key = ("frame", id(sampler), chunk_size, self.fused)
+        if key not in self._render_fns:
+            import copy
+
+            rays_per_cam = sampler.rays_per_camera
+            num_chunks = -(-rays_per_cam // chunk_size)
+            total = num_chunks * chunk_size
+            height = sampler.image_height
+            width = sampler.image_width
+
+            # The sampler's precomputed per-ray geometry (starts,
+            # directions, near/far, CDFs, occupancy rasters, ...) is
+            # passed as a jit ARGUMENT pytree rather than captured in
+            # the closure: closed-over arrays are embedded as
+            # constants in the compile payload, which for whole-orbit
+            # geometry is hundreds of MB.
+            arrays = {name: value for name, value in vars(sampler).items()
+                      if isinstance(value, jnp.ndarray)}
+            arrays["__valid"] = jnp.asarray(sampler.valid)
+
+            if self.fused:
+                from ..ops.fused_nerf import fused_nerf_apply
+
+                def apply_fn(model_arg, pos, views):
+                    return fused_nerf_apply(self.model, model_arg, pos,
+                                            views)
+            elif self.model.use_view:
+                def apply_fn(model_arg, pos, views):
+                    return self.model.apply(
+                        model_arg, pos, views,
+                        compute_dtype=self.compute_dtype)
+            else:
+                def apply_fn(model_arg, pos, views):
+                    del views
+                    return self.model.apply(
+                        model_arg, pos, compute_dtype=self.compute_dtype)
+
+            @jax.jit
+            def frame_fn(model_arg, camera, geometry):
+                traced = copy.copy(sampler)
+                valid = geometry.pop("__valid")
+                for name, value in geometry.items():
+                    object.__setattr__(traced, name, value)
+
+                base = camera * rays_per_cam
+                offsets = jnp.arange(total, dtype=jnp.int32) % rays_per_cam
+                idx = (base + offsets).reshape(num_chunks, chunk_size)
+
+                def body(carry, idx_chunk):
+                    rays = traced.sample(idx_chunk)
+                    flat_pos = rays.positions.reshape(-1, 3)
+                    flat_views = rays.view_directions.reshape(-1, 3)
+                    color_o = apply_fn(model_arg, flat_pos, flat_views)
+                    color_o = color_o.reshape(chunk_size, -1, 4)
+                    result = _composite(color_o, rays.t_values, False)
+                    return carry, result.color
+
+                _, colors = jax.lax.scan(body, 0, idx)
+                colors = colors.reshape(total, 3)[:rays_per_cam]
+                mask = valid[base + offsets[:rays_per_cam]]
+                colors = jnp.where(mask[:, None], colors, 0.0)
+                image = jnp.clip(colors, 0.0, 1.0)
+                image = image.reshape(height, width, 3)
+                return (image * 255.0).astype(jnp.uint8)
+
+            self._render_fns[key] = (frame_fn, arrays)
+        return self._render_fns[key]
+
+    def render_frame(self, params, sampler: RaySampler, camera: int,
+                     chunk_size: int = 16384,
+                     color_space: str = "RGB") -> np.ndarray:
+        """Renders a full camera frame in ONE device dispatch.
+
+        ``render_image`` (the parity path, ray_caster.py:140-159)
+        issues one device call per ray chunk plus a host scatter;
+        through a high-latency runtime the per-dispatch overhead
+        dominates the frame time, and its valid-ray-count shapes
+        recompile per camera. Here sampling, the (optionally fused)
+        model query, compositing and the uint8 conversion for every
+        chunk run inside a single jitted ``lax.scan`` with
+        camera-independent shapes — one compile serves a whole orbit,
+        and exactly one (H, W, 3) uint8 buffer crosses back to host.
+        Invalid rays render black via the sampler's validity mask
+        (ray_sampler.py:177-200 semantics).
+        """
+        frame_fn, geometry = self._frame_fn(sampler, chunk_size)
+        model_arg = (self._get_fused_weights(params) if self.fused
+                     else params)
+        camera = jnp.asarray(camera % sampler.num_cameras, jnp.int32)
+        image = np.asarray(frame_fn(model_arg, camera, geometry))
+        if color_space == "YCrCb":
+            import cv2
+            image = cv2.cvtColor(image, cv2.COLOR_YCrCb2RGB)
+        return image
+
     def render_activations(self, params, sampler: RaySampler, index: int,
                            batch_size: int,
                            color_space: str = "RGB") -> np.ndarray:

@@ -153,3 +153,55 @@ class TestOccupancyGridSampler:
         image = ffn.Raycaster(model).render_image(params, sampler, 0,
                                                   batch_size=128)
         assert image.shape == (16, 16, 3)
+
+
+class TestOccupancyProbeMatmul:
+    def test_matmul_matches_gather_at_full_resolution(self, tree,
+                                                      cameras):
+        """probe_resolution == grid_resolution: the one-hot matmul
+        lookup must agree with the exact flat gather everywhere."""
+        from fourier_feature_nets_tpu.render.occupancy_sampler import (
+            OccupancyGridSampler,
+        )
+        mm = OccupancyGridSampler(tree, cameras, 8, grid_resolution=16,
+                                  num_probes=8, probe_mode="matmul",
+                                  probe_resolution=16)
+        ex = OccupancyGridSampler(tree, cameras, 8, grid_resolution=16,
+                                  num_probes=8, probe_mode="gather")
+        rng = np.random.default_rng(3)
+        pts = jnp.asarray(rng.uniform(-1, 1, (1000, 3))
+                          .astype(np.float32) * float(tree.scale))
+        np.testing.assert_array_equal(np.asarray(mm._occupancy_at(pts)),
+                                      np.asarray(ex._occupancy_at(pts)))
+
+    def test_coarse_table_is_conservative(self, tree, cameras):
+        """Max-pooled probe occupancy is a superset of the fine grid."""
+        from fourier_feature_nets_tpu.render.occupancy_sampler import (
+            OccupancyGridSampler,
+        )
+        s = OccupancyGridSampler(tree, cameras, 8, grid_resolution=32,
+                                 num_probes=8, probe_resolution=16)
+        rng = np.random.default_rng(4)
+        pts = jnp.asarray(rng.uniform(-1, 1, (2000, 3))
+                          .astype(np.float32) * float(tree.scale))
+        coarse = np.asarray(s._occupancy_at(pts))
+        fine = OccupancyGridSampler(tree, cameras, 8, grid_resolution=32,
+                                    num_probes=8, probe_mode="gather")
+        exact = np.asarray(fine._occupancy_at(pts))
+        assert (coarse >= exact).all()
+
+    def test_sample_still_jittable(self, tree, cameras):
+        from fourier_feature_nets_tpu.render.occupancy_sampler import (
+            OccupancyGridSampler,
+        )
+        s = OccupancyGridSampler(tree, cameras, 8, grid_resolution=16,
+                                 num_probes=8, stratified=True)
+
+        @jax.jit
+        def fn(idx, key):
+            return s.sample(idx, rng=key)
+
+        rays = fn(jnp.asarray(s._valid_for_camera(0)[:16]),
+                  jax.random.PRNGKey(0))
+        assert rays.positions.shape == (16, 8, 3)
+        assert not np.isnan(np.asarray(rays.positions)).any()

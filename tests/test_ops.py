@@ -313,3 +313,55 @@ class TestMetrics:
         expected = -10 * np.log10(0.01)
         assert float(ops.psnr(pred, target)) == pytest.approx(expected,
                                                               rel=1e-4)
+
+
+class TestGatherFreeInverseCDF:
+    """The masked-min/max bracketing must match the textbook
+    searchsorted + take_along_axis formulation bit-for-bit."""
+
+    @staticmethod
+    def _reference(t_edges, cdf, quantiles):
+        t_edges, cdf, quantiles = map(np.asarray, (t_edges, cdf, quantiles))
+        out = np.empty_like(quantiles)
+        for r in range(quantiles.shape[0]):
+            index = np.searchsorted(cdf[r], quantiles[r], side="right")
+            i = np.maximum(index - 1, 0)
+            j = np.minimum(index, cdf.shape[-1] - 1)
+            denom = cdf[r, j] - cdf[r, i]
+            denom = np.where(denom < 1e-9, 1.0, denom)
+            frac = (quantiles[r] - cdf[r, i]) / denom
+            out[r] = t_edges[r, i] + frac * (t_edges[r, j] - t_edges[r, i])
+        return out
+
+    def test_matches_searchsorted_random(self, rng):
+        bins = 16
+        weights = rng.random((32, bins)).astype(np.float32) + 1e-3
+        cdf = np.cumsum(weights, -1)
+        cdf = cdf / cdf[:, -1:]
+        cdf = np.concatenate([np.zeros((32, 1), np.float32), cdf], -1)
+        edges = np.sort(rng.random((32, bins + 1)).astype(np.float32), -1)
+        got = np.asarray(ops.inverse_cdf_from_bins(
+            jnp.asarray(edges), jnp.asarray(cdf), 24))
+        quantiles = np.broadcast_to(
+            np.linspace(0, 1, 24, dtype=np.float32), (32, 24))
+        want = self._reference(edges, cdf, quantiles)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_edge_quantiles(self):
+        """q == 0 and q == 1 exactly (the clamp paths)."""
+        edges = jnp.asarray([[0.0, 1.0, 2.0]])
+        cdf = jnp.asarray([[0.0, 0.25, 1.0]])
+        t = np.asarray(ops.inverse_cdf_from_bins(edges, cdf, 3))[0]
+        np.testing.assert_allclose(t, [0.0, 1.33333337, 2.0], rtol=1e-5)
+
+    def test_flat_cdf_regions(self):
+        """Repeated cdf values (empty bins) bracket like searchsorted."""
+        edges = np.linspace(0, 1, 9, dtype=np.float32)[None].repeat(4, 0)
+        cdf = np.asarray([[0, 0, 0, 0.5, 0.5, 0.5, 1, 1, 1]],
+                         np.float32).repeat(4, 0)
+        quantiles = np.broadcast_to(
+            np.linspace(0, 1, 12, dtype=np.float32), (4, 12))
+        got = np.asarray(ops.inverse_cdf_from_bins(
+            jnp.asarray(edges), jnp.asarray(cdf), 12))
+        want = self._reference(edges, cdf, quantiles)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

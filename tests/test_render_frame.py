@@ -1,0 +1,86 @@
+"""Single-dispatch frame renderer vs the chunked parity path."""
+
+import jax
+import numpy as np
+import pytest
+
+import fourier_feature_nets_tpu as ffn
+from fourier_feature_nets_tpu.cameras import Resolution
+from fourier_feature_nets_tpu.models import NeRF, Voxels
+from fourier_feature_nets_tpu.render import RaySampler
+from fourier_feature_nets_tpu.utils.camera_paths import orbit
+
+
+@pytest.fixture(scope="module")
+def cameras():
+    return orbit(np.array([0.0, 1.0, 0.0]), np.array([0.0, 0.0, 1.0]),
+                 3, 40.0, Resolution(20, 20), 3.0)
+
+
+@pytest.fixture(scope="module")
+def bounds():
+    return np.diag([2.0, 2.0, 2.0, 1.0]).astype(np.float32)
+
+
+def test_render_frame_matches_render_image_voxels(cameras, bounds):
+    """Whole-frame scan == per-chunk dispatches, non-view model."""
+    model = Voxels(side=8, scale=1.0)
+    params = model.init(jax.random.PRNGKey(0))
+    caster = ffn.Raycaster(model)
+    sampler = RaySampler(bounds, cameras, num_samples=16)
+    for camera in (0, 2):
+        ref = caster.render_image(params, sampler, camera, batch_size=64)
+        out = caster.render_frame(params, sampler, camera, chunk_size=96)
+        # uint8 quantization of identical float math: allow 1 LSB
+        assert out.shape == ref.shape == (20, 20, 3)
+        assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_render_frame_matches_render_image_nerf(cameras, bounds):
+    """View-dependent model, chunk not dividing the ray count."""
+    model = NeRF(num_layers=2, num_channels=16, max_log_scale_pos=3.0,
+                 num_freq_pos=4, max_log_scale_view=1.0, num_freq_view=2,
+                 skips=[1], include_inputs=True)
+    params = model.init(jax.random.PRNGKey(1))
+    caster = ffn.Raycaster(model)
+    sampler = RaySampler(bounds, cameras, num_samples=8)
+    ref = caster.render_image(params, sampler, 1, batch_size=64)
+    out = caster.render_frame(params, sampler, 1, chunk_size=112)
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_render_frame_single_compile_across_cameras(cameras, bounds):
+    """One compiled executable serves every orbit camera."""
+    model = Voxels(side=8, scale=1.0)
+    params = model.init(jax.random.PRNGKey(0))
+    caster = ffn.Raycaster(model)
+    sampler = RaySampler(bounds, cameras, num_samples=8)
+    caster.render_frame(params, sampler, 0, chunk_size=100)
+    fn, _ = caster._render_fns[("frame", id(sampler), 100, False)]
+    sizes = fn._cache_size()
+    caster.render_frame(params, sampler, 1, chunk_size=100)
+    caster.render_frame(params, sampler, 2, chunk_size=100)
+    assert fn._cache_size() == sizes == 1
+
+
+def test_render_frame_occupancy_sampler(bounds, cameras):
+    """Composes with the occupancy-grid sampler (the fast orbit path)."""
+    from fourier_feature_nets_tpu.octree import OcTree
+    from fourier_feature_nets_tpu.render.occupancy_sampler import (
+        OccupancyGridSampler,
+    )
+    rng = np.random.default_rng(1)
+    points = rng.normal([0.4, 0.0, 0.0], 0.08, (4000, 3))
+    anchors = np.array([[-1, -1, -1], [1, 1, 1]], np.float64)
+    cloud = np.concatenate([points, anchors]).astype(np.float32)
+    tree = OcTree.build_from_samples(cloud, depth=5, min_leaf_size=2)
+
+    model = Voxels(side=8, scale=1.0)
+    params = model.init(jax.random.PRNGKey(0))
+    caster = ffn.Raycaster(model)
+    sampler = OccupancyGridSampler(tree, cameras, num_samples=8,
+                                   grid_resolution=16, num_probes=8,
+                                   bounds=bounds)
+    ref = caster.render_image(params, sampler, 0, batch_size=64)
+    out = caster.render_frame(params, sampler, 0, chunk_size=128)
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
