@@ -177,9 +177,17 @@ class OccupancyGridSampler(RaySampler):
             occ = self.occupancy_flat[flat_idx]
         return occ.reshape(points.shape[:-1])
 
-    def sample(self, idx, step=None,
-               rng: Optional[jax.Array] = None) -> RaySamples:
-        """Occupancy-weighted inverse-CDF sampling (pure/jit-safe)."""
+    def probe_cdf(self, idx: jnp.ndarray):
+        """Probes occupancy along the requested rays (pure/jit-safe).
+
+        Returns:
+            (edges, cdf, hit): (R, P+1) probe bin edges, (R, P+1)
+            occupancy-weighted CDF over them, and an (R,) bool marking
+            rays whose probes touched ANY occupied cell. ``hit`` is
+            the empty-space-culling signal: a ray with no occupied
+            probe can only integrate (conservatively dilated) empty
+            space, so renderers may skip its model queries entirely.
+        """
         idx = jnp.asarray(idx)
         starts = self.starts[idx]
         directions = self.directions[idx]
@@ -192,6 +200,7 @@ class OccupancyGridSampler(RaySampler):
         probe_pos = (starts[:, None, :]
                      + mids[..., None] * directions[:, None, :])
         occ = self._occupancy_at(probe_pos)
+        hit = jnp.max(occ, axis=-1) > 0
 
         lengths = edges[..., 1:] - edges[..., :-1]
         weights = lengths * (occ + self.empty_weight) + 1e-12
@@ -199,15 +208,28 @@ class OccupancyGridSampler(RaySampler):
         cdf = cdf / cdf[..., -1:]
         cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf],
                               axis=-1)
+        return edges, cdf, hit
 
+    def t_from_cdf(self, edges: jnp.ndarray, cdf: jnp.ndarray,
+                   rng: Optional[jax.Array] = None) -> jnp.ndarray:
+        """Draws the per-ray sample budget from a probe CDF."""
         quantile_rng = rng if (self.stratified and rng is not None) \
             else None
         # stratified monotone quantiles: sorted by construction, so
         # the (expensive on TPU) per-ray sort is unnecessary
-        t_values = inverse_cdf_from_bins(edges, cdf, self.num_samples,
-                                         quantile_rng,
-                                         stratified_quantiles=True)
+        return inverse_cdf_from_bins(edges, cdf, self.num_samples,
+                                     quantile_rng,
+                                     stratified_quantiles=True)
 
+    def sample(self, idx, step=None,
+               rng: Optional[jax.Array] = None) -> RaySamples:
+        """Occupancy-weighted inverse-CDF sampling (pure/jit-safe)."""
+        idx = jnp.asarray(idx)
+        edges, cdf, _ = self.probe_cdf(idx)
+        t_values = self.t_from_cdf(edges, cdf, rng)
+
+        starts = self.starts[idx]
+        directions = self.directions[idx]
         positions = (starts[:, None, :]
                      + t_values[..., None] * directions[:, None, :])
         view_directions = jnp.broadcast_to(directions[:, None, :],

@@ -208,10 +208,11 @@ class Raycaster:
         pred = self.batched_render(params, samples, batch_size, False)
         return sampler.to_image(camera, pred.color, color_space)
 
-    def _frame_fn(self, sampler: RaySampler, chunk_size: int):
+    def _frame_fn(self, sampler: RaySampler, chunk_size: int,
+                  cull: bool = False):
         """Builds (and caches) the single-dispatch frame renderer for
         one sampler geometry."""
-        key = ("frame", id(sampler), chunk_size, self.fused)
+        key = ("frame", id(sampler), chunk_size, self.fused, cull)
         if key not in self._render_fns:
             import copy
 
@@ -248,6 +249,20 @@ class Raycaster:
                     return self.model.apply(
                         model_arg, pos, compute_dtype=self.compute_dtype)
 
+            def render_chunk(traced, model_arg, idx_chunk):
+                rays = traced.sample(idx_chunk)
+                flat_pos = rays.positions.reshape(-1, 3)
+                flat_views = rays.view_directions.reshape(-1, 3)
+                color_o = apply_fn(model_arg, flat_pos, flat_views)
+                color_o = color_o.reshape(chunk_size, -1, 4)
+                return _composite(color_o, rays.t_values, False).color
+
+            def finish(colors, mask):
+                colors = jnp.where(mask[:, None], colors, 0.0)
+                image = jnp.clip(colors, 0.0, 1.0)
+                image = image.reshape(height, width, 3)
+                return (image * 255.0).astype(jnp.uint8)
+
             @jax.jit
             def frame_fn(model_arg, camera, geometry):
                 traced = copy.copy(sampler)
@@ -260,28 +275,70 @@ class Raycaster:
                 idx = (base + offsets).reshape(num_chunks, chunk_size)
 
                 def body(carry, idx_chunk):
-                    rays = traced.sample(idx_chunk)
-                    flat_pos = rays.positions.reshape(-1, 3)
-                    flat_views = rays.view_directions.reshape(-1, 3)
-                    color_o = apply_fn(model_arg, flat_pos, flat_views)
-                    color_o = color_o.reshape(chunk_size, -1, 4)
-                    result = _composite(color_o, rays.t_values, False)
-                    return carry, result.color
+                    return carry, render_chunk(traced, model_arg,
+                                               idx_chunk)
 
                 _, colors = jax.lax.scan(body, 0, idx)
                 colors = colors.reshape(total, 3)[:rays_per_cam]
                 mask = valid[base + offsets[:rays_per_cam]]
-                colors = jnp.where(mask[:, None], colors, 0.0)
-                image = jnp.clip(colors, 0.0, 1.0)
-                image = image.reshape(height, width, 3)
-                return (image * 255.0).astype(jnp.uint8)
+                return finish(colors, mask)
+
+            @jax.jit
+            def frame_fn_culled(model_arg, camera, geometry):
+                """Empty-space culling: probe ALL rays once (cheap),
+                partition hit-rays first, run the model only on chunks
+                that contain hits. Rays whose probes saw no occupied
+                cell integrate (conservatively dilated) empty space
+                and render as background without a model query."""
+                traced = copy.copy(sampler)
+                valid = geometry.pop("__valid")
+                for name, value in geometry.items():
+                    object.__setattr__(traced, name, value)
+
+                base = camera * rays_per_cam
+                offsets = jnp.arange(total, dtype=jnp.int32) % rays_per_cam
+                idx_all = base + offsets
+
+                _, _, hit = traced.probe_cdf(idx_all)
+                hit = hit & valid[idx_all]
+                num_hit = jnp.sum(hit.astype(jnp.int32))
+                # stable partition: hit rays keep their order up front
+                hit_slot = jnp.cumsum(hit.astype(jnp.int32)) - 1
+                miss_slot = (num_hit
+                             + jnp.cumsum((~hit).astype(jnp.int32)) - 1)
+                slot = jnp.where(hit, hit_slot, miss_slot)
+                perm = jnp.zeros(total, jnp.int32).at[slot].set(
+                    jnp.arange(total, dtype=jnp.int32))
+
+                def body(carry, k):
+                    sl = jax.lax.dynamic_slice(perm, (k * chunk_size,),
+                                               (chunk_size,))
+                    idx_chunk = idx_all[sl]
+                    color = jax.lax.cond(
+                        k * chunk_size < num_hit,
+                        lambda _: render_chunk(traced, model_arg,
+                                               idx_chunk),
+                        lambda _: jnp.zeros((chunk_size, 3)),
+                        0)
+                    return carry, color
+
+                _, colors = jax.lax.scan(
+                    body, 0, jnp.arange(num_chunks, dtype=jnp.int32))
+                unperm = jnp.zeros((total, 3)).at[perm].set(
+                    colors.reshape(total, 3))
+                mask = (hit & valid[idx_all])[:rays_per_cam]
+                return finish(unperm[:rays_per_cam], mask)
+
+            if cull:
+                frame_fn = frame_fn_culled
 
             self._render_fns[key] = (frame_fn, arrays)
         return self._render_fns[key]
 
     def render_frame(self, params, sampler: RaySampler, camera: int,
                      chunk_size: int = 16384,
-                     color_space: str = "RGB") -> np.ndarray:
+                     color_space: str = "RGB",
+                     cull_empty: bool = True) -> np.ndarray:
         """Renders a full camera frame in ONE device dispatch.
 
         ``render_image`` (the parity path, ray_caster.py:140-159)
@@ -295,8 +352,17 @@ class Raycaster:
         and exactly one (H, W, 3) uint8 buffer crosses back to host.
         Invalid rays render black via the sampler's validity mask
         (ray_sampler.py:177-200 semantics).
+
+        With ``cull_empty`` (default) and a sampler exposing
+        ``probe_cdf`` (OccupancyGridSampler), rays whose occupancy
+        probes all land in empty space are partitioned out and never
+        reach the model — chunks past the hit count skip the MLP via
+        ``lax.cond``. They render as background (black), which for a
+        trained field matches the un-culled render up to the field's
+        residual opacity in (dilated) empty space.
         """
-        frame_fn, geometry = self._frame_fn(sampler, chunk_size)
+        cull = cull_empty and hasattr(sampler, "probe_cdf")
+        frame_fn, geometry = self._frame_fn(sampler, chunk_size, cull)
         model_arg = (self._get_fused_weights(params) if self.fused
                      else params)
         camera = jnp.asarray(camera % sampler.num_cameras, jnp.int32)

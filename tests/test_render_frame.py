@@ -56,7 +56,7 @@ def test_render_frame_single_compile_across_cameras(cameras, bounds):
     caster = ffn.Raycaster(model)
     sampler = RaySampler(bounds, cameras, num_samples=8)
     caster.render_frame(params, sampler, 0, chunk_size=100)
-    fn, _ = caster._render_fns[("frame", id(sampler), 100, False)]
+    fn, _ = caster._render_fns[("frame", id(sampler), 100, False, False)]
     sizes = fn._cache_size()
     caster.render_frame(params, sampler, 1, chunk_size=100)
     caster.render_frame(params, sampler, 2, chunk_size=100)
@@ -84,3 +84,38 @@ def test_render_frame_occupancy_sampler(bounds, cameras):
     ref = caster.render_image(params, sampler, 0, batch_size=64)
     out = caster.render_frame(params, sampler, 0, chunk_size=128)
     assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_render_frame_cull_empty(bounds, cameras):
+    """Culled == unculled on hit rays; probe-missed rays render black."""
+    import jax.numpy as jnp
+    from fourier_feature_nets_tpu.octree import OcTree
+    from fourier_feature_nets_tpu.render.occupancy_sampler import (
+        OccupancyGridSampler,
+    )
+    rng = np.random.default_rng(2)
+    points = rng.normal([0.4, 0.0, 0.0], 0.08, (4000, 3))
+    anchors = np.array([[-1, -1, -1], [1, 1, 1]], np.float64)
+    cloud = np.concatenate([points, anchors]).astype(np.float32)
+    tree = OcTree.build_from_samples(cloud, depth=5, min_leaf_size=2)
+
+    model = Voxels(side=8, scale=1.0)
+    params = model.init(jax.random.PRNGKey(0))
+    caster = ffn.Raycaster(model)
+    sampler = OccupancyGridSampler(tree, cameras, num_samples=8,
+                                   grid_resolution=16, num_probes=8,
+                                   bounds=bounds)
+    culled = caster.render_frame(params, sampler, 0, chunk_size=64,
+                                 cull_empty=True)
+    full = caster.render_frame(params, sampler, 0, chunk_size=64,
+                               cull_empty=False)
+
+    idx = jnp.arange(sampler.rays_per_camera, dtype=jnp.int32)
+    _, _, hit = sampler.probe_cdf(idx)
+    hit = (np.asarray(hit)
+           & sampler.valid[:sampler.rays_per_camera]).reshape(20, 20)
+    assert hit.any() and not hit.all()
+    # hit rays: identical to the unculled render
+    np.testing.assert_array_equal(culled[hit], full[hit])
+    # probe-missed rays: exact background
+    assert (culled[~hit] == 0).all()
