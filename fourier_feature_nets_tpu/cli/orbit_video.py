@@ -106,17 +106,30 @@ def main(argv=None):
 
     os.makedirs(args.output_dir, exist_ok=True)
     progress = ETABar("Rendering", max=args.num_frames)
-    for frame in range(args.num_frames):
-        progress.next()
-        if args.chunked:
-            image = raycaster.render_image(params, sampler, frame,
-                                           args.batch_size)
-        else:
-            image = raycaster.render_frame(params, sampler, frame,
-                                           chunk_size=args.batch_size * 4)
+
+    def write(frame, image):
         path = os.path.join(args.output_dir,
                             "frame_{:05d}.png".format(frame))
-        cv2.imwrite(path, cv2.cvtColor(image, cv2.COLOR_RGB2BGR))
+        cv2.imwrite(path, cv2.cvtColor(np.asarray(image),
+                                       cv2.COLOR_RGB2BGR))
+
+    if args.chunked:
+        for frame in range(args.num_frames):
+            progress.next()
+            write(frame, raycaster.render_image(params, sampler, frame,
+                                                args.batch_size))
+    else:
+        # pipelined: dispatch frame f before fetching/writing f-1 so
+        # the device computes while the host transfers and encodes
+        pending = None
+        for frame in range(args.num_frames):
+            progress.next()
+            buffer = raycaster.render_frame_async(
+                params, sampler, frame, chunk_size=args.batch_size * 4)
+            if pending is not None:
+                write(frame - 1, pending)
+            pending = buffer
+        write(args.num_frames - 1, pending)
     progress.finish()
     return 0
 

@@ -361,16 +361,26 @@ class Raycaster:
         trained field matches the un-culled render up to the field's
         residual opacity in (dilated) empty space.
         """
+        image = np.asarray(self.render_frame_async(
+            params, sampler, camera, chunk_size, cull_empty))
+        if color_space == "YCrCb":
+            import cv2
+            image = cv2.cvtColor(image, cv2.COLOR_YCrCb2RGB)
+        return image
+
+    def render_frame_async(self, params, sampler: RaySampler,
+                           camera: int, chunk_size: int = 16384,
+                           cull_empty: bool = True) -> jnp.ndarray:
+        """Dispatches one frame and returns the DEVICE buffer without
+        blocking — callers rendering sequences overlap frame f+1's
+        compute with frame f's host transfer by dispatching first and
+        converting previous results afterwards (see cli/orbit_video)."""
         cull = cull_empty and hasattr(sampler, "probe_cdf")
         frame_fn, geometry = self._frame_fn(sampler, chunk_size, cull)
         model_arg = (self._get_fused_weights(params) if self.fused
                      else params)
         camera = jnp.asarray(camera % sampler.num_cameras, jnp.int32)
-        image = np.asarray(frame_fn(model_arg, camera, geometry))
-        if color_space == "YCrCb":
-            import cv2
-            image = cv2.cvtColor(image, cv2.COLOR_YCrCb2RGB)
-        return image
+        return frame_fn(model_arg, camera, geometry)
 
     def render_activations(self, params, sampler: RaySampler, index: int,
                            batch_size: int,
