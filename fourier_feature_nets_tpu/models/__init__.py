@@ -7,6 +7,7 @@ from .fourier import (
     MLP,
     PositionalFourierMLP,
 )
+from .factorized import FactorizedVoxels
 from .module import Model, linear_apply, linear_init, mlp_apply, mlp_init
 from .nerf import NeRF
 from .serialization import load_model, load_torch_model, save_model
@@ -14,6 +15,7 @@ from .voxels import Voxels
 
 __all__ = [
     "BasicFourierMLP",
+    "FactorizedVoxels",
     "FourierFeatureMLP",
     "GaussianFourierMLP",
     "MLP",

@@ -1,0 +1,157 @@
+"""Factorized (TensoRF-VM style) voxel radiance field.
+
+A TPU-native alternative to the dense ``Voxels`` grid
+(/root/reference/fourier_feature_nets/voxels_model.py): the dense
+model's hot path is trilinear gather (forward) and scatter-add
+(backward), both of which lower to scalar loops on TPU and cap
+training at ~10 steps/s at 128^3. This model represents the
+(side, side, side, C) volume as a vector-matrix decomposition
+
+    G[x, y, z, :] ~= sum_r  M_xy[x, y, r] * v_z[z, r] * B[r]
+                   + sum_r  M_xz[x, z, r] * v_y[y, r] * B[R + r]
+                   + sum_r  M_yz[y, z, r] * v_x[x, r] * B[2R + r]
+
+(the VM decomposition of TensoRF, Chen et al. 2022), and evaluates
+bilinear/linear interpolation of the factors as DENSE matmuls: the
+interpolation weights along each axis form a 2-sparse "hat" vector
+(max(0, 1 - |g - i|)) built by a broadcast compare against an iota,
+and contracting hat vectors with factor matrices is a matmul the MXU
+executes at full tilt. Gradients reach the factors through matmul
+transposes — no scatter anywhere.
+
+Cost per point is ~side * side * R MACs — more raw FLOPs than a
+gather, but they ride the 197 TFLOP/s MXU instead of a ~50 ns/element
+gather loop, a >5x wall-clock win at training batch sizes (and the
+factorization itself is a strong low-rank prior: TensoRF matches or
+beats dense grids at equal parameter budgets).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .module import Model, linear_apply, linear_init
+
+__all__ = ["FactorizedVoxels"]
+
+
+def _logit(x: float) -> float:
+    return float(np.log(x) - np.log1p(-x))
+
+
+class FactorizedVoxels(Model):
+    """Vector-matrix factorized voxel radiance field."""
+
+    model_type = "factorized_voxels"
+    use_view = False
+
+    #: (plane axes, vector axis) for the three VM components,
+    #: as indices into (x, y, z)
+    _COMPONENTS = (((0, 1), 2), ((0, 2), 1), ((1, 2), 0))
+
+    def __init__(self, side: int, scale: float, rank: int = 16,
+                 init_scale: float = 0.1):
+        """Constructor.
+
+        Args:
+            side: factor resolution per axis (the virtual dense grid
+                is side^3).
+            scale: half-extent of the volume (scale 1 = 2x2x2 volume).
+            rank: components per VM term (3 * rank features total).
+            init_scale: stddev of the factor initialization.
+        """
+        self.side = side
+        self.scale = scale
+        self.rank = rank
+        self.init_scale = init_scale
+
+    @property
+    def params_manifest(self) -> dict:
+        return {"side": self.side, "scale": self.scale,
+                "rank": self.rank, "init_scale": self.init_scale}
+
+    def init(self, rng: jax.Array):
+        keys = jax.random.split(rng, 7)
+        side, rank = self.side, self.rank
+        params = {}
+        for key, ((_, _), _), name in zip(
+                keys[:3], self._COMPONENTS, ("xy", "xz", "yz")):
+            params[f"plane_{name}"] = (
+                self.init_scale
+                * jax.random.normal(key, (side, side, rank), jnp.float32))
+        for key, name in zip(keys[3:6], ("z", "y", "x")):
+            params[f"vector_{name}"] = (
+                self.init_scale
+                * jax.random.normal(key, (side, rank), jnp.float32))
+        params["basis"] = linear_init(keys[6], 3 * rank, 4)
+        params["bias"] = jnp.array([_logit(1e-5)] * 3 + [-2.0],
+                                   jnp.float32)
+        return params
+
+    def _hat_weights(self, coords: jnp.ndarray) -> jnp.ndarray:
+        """(N, 3) normalized coords -> (N, 3, side) interpolation hats.
+
+        ``max(0, 1 - |g - iota|)`` puts linear-interpolation weight on
+        the two cells bracketing each coordinate (a 2-sparse vector in
+        dense form). Coordinates are clamped to the grid so border
+        queries saturate like grid_sample's border padding.
+        """
+        grid = (coords + 1.0) * 0.5 * self.side - 0.5
+        grid = jnp.clip(grid, 0.0, self.side - 1.0)
+        iota = jnp.arange(self.side, dtype=jnp.float32)
+        return jnp.maximum(0.0, 1.0 - jnp.abs(grid[..., None] - iota))
+
+    def apply(self, params, positions: jnp.ndarray,
+              compute_dtype=None) -> jnp.ndarray:
+        """Evaluates the factorized field at (N, 3) world positions.
+
+        Returns:
+            (N, 4) color + opacity logits (same contract as Voxels).
+        """
+        side, rank = self.side, self.rank
+        dtype = compute_dtype if compute_dtype is not None else jnp.float32
+        coords = positions.reshape(-1, 3) / self.scale
+        hats = self._hat_weights(coords).astype(dtype)
+
+        features = []
+        for ((axis_a, axis_b), axis_v), plane_name, vec_name in zip(
+                self._COMPONENTS, ("xy", "xz", "yz"), ("z", "y", "x")):
+            plane = params[f"plane_{plane_name}"].astype(dtype)
+            vector = params[f"vector_{vec_name}"].astype(dtype)
+            # bilinear plane sample as two contractions:
+            # rows = hat_a @ plane  (MXU), then a hat_b-weighted
+            # reduction over the second plane axis (VPU)
+            rows = jnp.dot(hats[:, axis_a], plane.reshape(side, -1),
+                           preferred_element_type=jnp.float32)
+            rows = rows.reshape(-1, side, rank)
+            plane_val = jnp.sum(rows * hats[:, axis_b, :, None]
+                                .astype(rows.dtype), axis=1)
+            vec_val = jnp.dot(hats[:, axis_v], vector,
+                              preferred_element_type=jnp.float32)
+            features.append(plane_val * vec_val)
+
+        features = jnp.concatenate(features, axis=-1)
+        out = linear_apply(params["basis"], features, compute_dtype)
+        return out + params["bias"]
+
+    def dense_grid(self, params) -> jnp.ndarray:
+        """Materializes the virtual (side, side, side, 4) dense grid
+        (for inspection/voxelization; not used in the hot path)."""
+        side, rank = self.side, self.rank
+        feats = []
+        for ((axis_a, axis_b), axis_v), plane_name, vec_name in zip(
+                self._COMPONENTS, ("xy", "xz", "yz"), ("z", "y", "x")):
+            plane = params[f"plane_{plane_name}"]
+            vector = params[f"vector_{vec_name}"]
+            shape_p = [1, 1, 1, rank]
+            shape_p[axis_a] = side
+            shape_p[axis_b] = side
+            shape_v = [1, 1, 1, rank]
+            shape_v[axis_v] = side
+            plane_nd = jnp.reshape(plane, shape_p)
+            feats.append(plane_nd * jnp.reshape(vector, shape_v))
+        features = jnp.concatenate(
+            [jnp.broadcast_to(f, (side, side, side, rank)) for f in feats],
+            axis=-1)
+        out = linear_apply(params["basis"], features)
+        return out + params["bias"]

@@ -19,6 +19,7 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
+from .factorized import FactorizedVoxels
 from .fourier import FourierFeatureMLP
 from .module import Model
 from .nerf import NeRF
@@ -30,6 +31,7 @@ _MODEL_TYPES = {
     "fourier": FourierFeatureMLP,
     "nerf": NeRF,
     "voxels": Voxels,
+    "factorized_voxels": FactorizedVoxels,
 }
 
 
