@@ -35,6 +35,23 @@ def add_common_train_args(parser):
                         help="Optimization steps per compiled call "
                              "(lax.scan); >1 amortizes dispatch "
                              "overhead on remote TPU runtimes")
+    parser.add_argument("--checkpoint-interval", type=int, default=0,
+                        help="Steps between resumable train-state "
+                             "checkpoints (written asynchronously to "
+                             "<results_dir>/checkpoints); 0 disables")
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume from the newest checkpoint in "
+                             "<results_dir>/checkpoints")
+
+
+def checkpoint_kwargs(args):
+    """fit() checkpoint/resume kwargs from the common CLI flags."""
+    if not (args.checkpoint_interval or args.resume):
+        return {}
+    directory = os.path.join(args.results_dir, "checkpoints")
+    return {"checkpoint_dir": directory,
+            "checkpoint_interval": args.checkpoint_interval or None,
+            "resume": args.resume}
 
 
 def load_opacity(path, args):

@@ -100,7 +100,8 @@ def main(argv=None):
                                 args.decay_steps, args.weight_decay,
                                 visualizers, mesh=common.get_mesh(args),
                                 seed=args.seed,
-                                steps_per_call=args.steps_per_call)
+                                steps_per_call=args.steps_per_call,
+                                **common.checkpoint_kwargs(args))
 
     save_model(model, params,
                os.path.join(args.results_dir, "tiny_nerf.npz"))

@@ -11,7 +11,6 @@ axis across a ``jax.sharding.Mesh``; XLA inserts the gradient
 all-reduce over ICI automatically.
 """
 
-import os
 import time
 from typing import List, Optional, Tuple
 
@@ -632,9 +631,9 @@ class Raycaster:
             (params, log) — final parameters and LogEntry list.
         """
         from ..utils.checkpoint import (
+            AsyncCheckpointer,
             latest_checkpoint,
             load_train_state,
-            save_train_state,
         )
 
         rng = jax.random.PRNGKey(seed)
@@ -689,6 +688,10 @@ class Raycaster:
             return self.render_activations(params, sampler, camera,
                                            batch_size,
                                            train_dataset.color_space)
+
+        checkpointer = None
+        if checkpoint_dir and checkpoint_interval:
+            checkpointer = AsyncCheckpointer(checkpoint_dir)
 
         log: List[LogEntry] = []
         step = start_step
@@ -749,14 +752,12 @@ class Raycaster:
                         step += 1
                         restart_epoch = True
 
-                if (checkpoint_dir and checkpoint_interval
-                        and step > start_step
+                if (checkpointer is not None and step > start_step
                         and (step % checkpoint_interval) < chunk):
-                    save_train_state(
-                        os.path.join(checkpoint_dir,
-                                     f"ckpt_{step:08d}.npz"),
-                        self.model, jax.tree.map(np.asarray, params),
-                        jax.tree.map(np.asarray, opt_state), step, seed)
+                    # device-side snapshot + background write: the
+                    # step loop never blocks on the host fetch
+                    checkpointer.save(self.model, params, opt_state,
+                                      step, seed)
 
                 if not restart_epoch:
                     for visualizer in visualizers:
@@ -764,4 +765,6 @@ class Raycaster:
                                              render_act_fn)
                     step += 1
 
+        if checkpointer is not None:
+            checkpointer.close()
         return params, log

@@ -2,6 +2,7 @@
 
 from .assets import ASSETS, default_data_dir, download_asset
 from .checkpoint import (
+    AsyncCheckpointer,
     TrainState,
     latest_checkpoint,
     load_train_state,
@@ -30,6 +31,7 @@ __all__ = [
     "ASSETS",
     "default_data_dir",
     "download_asset",
+    "AsyncCheckpointer",
     "TrainState",
     "latest_checkpoint",
     "load_train_state",

@@ -11,8 +11,10 @@ NPZ, enabling exact resume. The model portion stays loadable by
 
 import json
 import os
+import threading
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -20,7 +22,7 @@ from ..models.serialization import _flatten, _unflatten, build_model
 from .optim import AdamState
 
 __all__ = ["TrainState", "save_train_state", "load_train_state",
-           "latest_checkpoint"]
+           "latest_checkpoint", "AsyncCheckpointer"]
 
 
 class TrainState(NamedTuple):
@@ -68,6 +70,121 @@ def load_train_state(path: str) -> TrainState:
                           mu=mu, nu=nu)
     return TrainState(model, params, opt_state, manifest["step"],
                       manifest["seed"])
+
+
+class AsyncCheckpointer:
+    """Non-blocking training-state checkpointing.
+
+    The device->host parameter fetch is the slow part of a checkpoint
+    (especially through remote runtimes); doing it inline stalls the
+    step loop. ``save`` instead takes a device-side ``jnp.copy``
+    snapshot — an async dispatch that returns immediately and, being a
+    fresh buffer, is immune to the train step's buffer donation — and
+    hands fetch + NPZ write to one background thread. The queue is
+    depth-1 latest-wins: if training outruns the writer, intermediate
+    checkpoints are skipped rather than stalling training. This is the
+    orbax-async-checkpointing pattern without the orbax directory
+    format, keeping checkpoints single-file NPZ (loadable by
+    :func:`load_train_state` / ``models.load_model``).
+    """
+
+    def __init__(self, directory: str, prefix: str = "ckpt_",
+                 keep: int = 3):
+        """Args:
+            directory: checkpoint directory (created if needed).
+            prefix: filename prefix (``{prefix}{step:08d}.npz``).
+            keep: newest checkpoints retained; older ones are pruned.
+        """
+        self.directory = directory
+        self.prefix = prefix
+        self.keep = keep
+        os.makedirs(directory, exist_ok=True)
+        self._pending = None
+        self._busy = False
+        self._error = None
+        self._closed = False
+        self._cond = threading.Condition()
+        self._thread = threading.Thread(target=self._worker,
+                                        daemon=True,
+                                        name="ffn-async-ckpt")
+        self._thread.start()
+
+    def save(self, model, params, opt_state, step: int, seed: int = 0):
+        """Snapshots state on device and enqueues the write."""
+        snapshot = (model,
+                    jax.tree.map(jnp.copy, params),
+                    jax.tree.map(jnp.copy, opt_state),
+                    int(step), int(seed))
+        with self._cond:
+            if self._closed:
+                raise RuntimeError("AsyncCheckpointer is closed")
+            self._raise_pending_error()
+            self._pending = snapshot
+            self._cond.notify_all()
+
+    def wait(self):
+        """Blocks until all enqueued checkpoints are on disk."""
+        with self._cond:
+            while self._pending is not None or self._busy:
+                self._cond.wait()
+            self._raise_pending_error()
+
+    def close(self):
+        """Flushes pending writes and stops the worker."""
+        self.wait()
+        with self._cond:
+            self._closed = True
+            self._cond.notify_all()
+        self._thread.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc_info):
+        self.close()
+        return False
+
+    def _raise_pending_error(self):
+        if self._error is not None:
+            error, self._error = self._error, None
+            raise error
+
+    def _worker(self):
+        while True:
+            with self._cond:
+                while self._pending is None and not self._closed:
+                    self._cond.wait()
+                if self._pending is None:
+                    return
+                item, self._pending = self._pending, None
+                self._busy = True
+            try:
+                self._write(*item)
+            except Exception as error:  # surfaced on next save()/wait()
+                self._error = error
+            with self._cond:
+                self._busy = False
+                self._cond.notify_all()
+
+    def _write(self, model, params, opt_state, step, seed):
+        path = os.path.join(self.directory,
+                            f"{self.prefix}{step:08d}.npz")
+        save_train_state(path, model, jax.tree.map(np.asarray, params),
+                         jax.tree.map(np.asarray, opt_state), step, seed)
+        self._prune()
+
+    def _prune(self):
+        suffix = ".npz"
+        steps = []
+        for name in os.listdir(self.directory):
+            if name.startswith(self.prefix) and name.endswith(suffix):
+                try:
+                    steps.append(int(name[len(self.prefix):-len(suffix)]))
+                except ValueError:
+                    continue
+        for step in sorted(steps)[:-self.keep] if self.keep else []:
+            os.unlink(os.path.join(
+                self.directory, f"{self.prefix}{step:08d}{suffix}"))
 
 
 def latest_checkpoint(directory: str,

@@ -207,3 +207,75 @@ def test_steps_per_call_chunked_fit(datasets):
         results[spc] = log[-1].val_psnr
     # same budget, same data: within a dB of each other
     assert abs(results[1] - results[20]) < 1.5, results
+
+
+class TestAsyncCheckpointer:
+    def test_save_wait_round_trip(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        from fourier_feature_nets_tpu.models import Voxels
+        from fourier_feature_nets_tpu.utils import (
+            AsyncCheckpointer,
+            adam_init,
+            latest_checkpoint,
+            load_train_state,
+        )
+        model = Voxels(side=4, scale=1.0)
+        params = model.init(jax.random.PRNGKey(0))
+        opt = adam_init(params)
+        with AsyncCheckpointer(str(tmp_path), keep=2) as ckpt:
+            for step in (10, 20, 30, 40):
+                tweaked = jax.tree.map(lambda x: x + step, params)
+                ckpt.save(model, tweaked, opt, step, seed=1)
+                ckpt.wait()
+        # keep=2: only the newest two survive pruning
+        names = sorted(p.name for p in tmp_path.glob("ckpt_*.npz"))
+        assert names == ["ckpt_00000030.npz", "ckpt_00000040.npz"]
+        state = load_train_state(latest_checkpoint(str(tmp_path)))
+        assert state.step == 40 and state.seed == 1
+        np.testing.assert_allclose(
+            np.asarray(state.params["bias"]),
+            np.asarray(params["bias"]) + 40)
+
+    def test_latest_wins_under_backpressure(self, tmp_path):
+        """Saves faster than the writer drains only keep the newest."""
+        import jax
+        from fourier_feature_nets_tpu.models import Voxels
+        from fourier_feature_nets_tpu.utils import (
+            AsyncCheckpointer,
+            adam_init,
+            latest_checkpoint,
+            load_train_state,
+        )
+        model = Voxels(side=4, scale=1.0)
+        params = model.init(jax.random.PRNGKey(0))
+        opt = adam_init(params)
+        with AsyncCheckpointer(str(tmp_path), keep=0) as ckpt:
+            for step in range(1, 31):
+                ckpt.save(model, params, opt, step)
+        # close() flushed the queue: the newest step is always on disk
+        state = load_train_state(latest_checkpoint(str(tmp_path)))
+        assert state.step == 30
+
+    def test_fit_checkpoints_asynchronously(self, datasets, tmp_path):
+        """fit() writes resumable checkpoints through the async path."""
+        import jax
+        import fourier_feature_nets_tpu as ffn
+        from fourier_feature_nets_tpu.models import Voxels
+        from fourier_feature_nets_tpu.utils import (
+            latest_checkpoint,
+            load_train_state,
+        )
+        train, val = datasets
+        model = Voxels(side=8, scale=1.0)
+        caster = ffn.Raycaster(model)
+        params = model.init(jax.random.PRNGKey(0))
+        ckpt_dir = str(tmp_path / "ckpts")
+        caster.fit(params, train, val, batch_size=64, learning_rate=0.01,
+                   num_steps=25, crop_steps=0, report_interval=100,
+                   decay_rate=0.9, decay_steps=25000,
+                   checkpoint_dir=ckpt_dir, checkpoint_interval=10)
+        path = latest_checkpoint(ckpt_dir)
+        assert path is not None
+        state = load_train_state(path)
+        assert state.step >= 10
