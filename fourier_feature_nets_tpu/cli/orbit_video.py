@@ -59,6 +59,9 @@ def _parse_args(argv=None):
                         help="Use the per-chunk dispatch render path "
                              "(render_image) instead of the default "
                              "single-dispatch whole-frame renderer")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="Shard each frame's rays across all "
+                             "devices (shard_map over a 1-D mesh)")
     return parser.parse_args(argv)
 
 
@@ -119,13 +122,18 @@ def main(argv=None):
             write(frame, raycaster.render_image(params, sampler, frame,
                                                 args.batch_size))
     else:
+        mesh = None
+        if args.data_parallel:
+            from ..parallel import make_mesh
+            mesh = make_mesh()
         # pipelined: dispatch frame f before fetching/writing f-1 so
         # the device computes while the host transfers and encodes
         pending = None
         for frame in range(args.num_frames):
             progress.next()
             buffer = raycaster.render_frame_async(
-                params, sampler, frame, chunk_size=args.batch_size * 4)
+                params, sampler, frame, chunk_size=args.batch_size * 4,
+                mesh=mesh)
             if pending is not None:
                 write(frame - 1, pending)
             pending = buffer

@@ -208,10 +208,11 @@ class Raycaster:
         return sampler.to_image(camera, pred.color, color_space)
 
     def _frame_fn(self, sampler: RaySampler, chunk_size: int,
-                  cull: bool = False):
+                  cull: bool = False, mesh=None):
         """Builds (and caches) the single-dispatch frame renderer for
         one sampler geometry."""
-        key = ("frame", id(sampler), chunk_size, self.fused, cull)
+        key = ("frame", id(sampler), chunk_size, self.fused, cull,
+               None if mesh is None else tuple(mesh.devices.flat))
         if key not in self._render_fns:
             import copy
 
@@ -248,13 +249,33 @@ class Raycaster:
                     return self.model.apply(
                         model_arg, pos, compute_dtype=self.compute_dtype)
 
-            def render_chunk(traced, model_arg, idx_chunk):
-                rays = traced.sample(idx_chunk)
+            def make_sampler(geometry):
+                traced = copy.copy(sampler)
+                for name, value in geometry.items():
+                    object.__setattr__(traced, name, value)
+                return traced
+
+            def render_chunk(geometry, model_arg, idx_chunk):
+                rays = make_sampler(geometry).sample(idx_chunk)
                 flat_pos = rays.positions.reshape(-1, 3)
                 flat_views = rays.view_directions.reshape(-1, 3)
                 color_o = apply_fn(model_arg, flat_pos, flat_views)
-                color_o = color_o.reshape(chunk_size, -1, 4)
+                color_o = color_o.reshape(idx_chunk.shape[0], -1, 4)
                 return _composite(color_o, rays.t_values, False).color
+
+            if mesh is None:
+                run_chunk = render_chunk
+            else:
+                # one whole (optionally Pallas) render per device, rays
+                # sharded over the data axis — GSPMD cannot split a
+                # pallas_call, shard_map places one per chip
+                # check_vma=False: pallas_call outputs carry no
+                # varying-mesh-axes annotation (same as the shard_map
+                # training step, parallel/data_parallel.py)
+                run_chunk = jax.shard_map(
+                    render_chunk, mesh=mesh,
+                    in_specs=(P(), P(), P("data")),
+                    out_specs=P("data"), check_vma=False)
 
             def finish(colors, mask):
                 colors = jnp.where(mask[:, None], colors, 0.0)
@@ -264,18 +285,15 @@ class Raycaster:
 
             @jax.jit
             def frame_fn(model_arg, camera, geometry):
-                traced = copy.copy(sampler)
                 valid = geometry.pop("__valid")
-                for name, value in geometry.items():
-                    object.__setattr__(traced, name, value)
 
                 base = camera * rays_per_cam
                 offsets = jnp.arange(total, dtype=jnp.int32) % rays_per_cam
                 idx = (base + offsets).reshape(num_chunks, chunk_size)
 
                 def body(carry, idx_chunk):
-                    return carry, render_chunk(traced, model_arg,
-                                               idx_chunk)
+                    return carry, run_chunk(geometry, model_arg,
+                                            idx_chunk)
 
                 _, colors = jax.lax.scan(body, 0, idx)
                 colors = colors.reshape(total, 3)[:rays_per_cam]
@@ -289,10 +307,8 @@ class Raycaster:
                 that contain hits. Rays whose probes saw no occupied
                 cell integrate (conservatively dilated) empty space
                 and render as background without a model query."""
-                traced = copy.copy(sampler)
                 valid = geometry.pop("__valid")
-                for name, value in geometry.items():
-                    object.__setattr__(traced, name, value)
+                traced = make_sampler(geometry)
 
                 base = camera * rays_per_cam
                 offsets = jnp.arange(total, dtype=jnp.int32) % rays_per_cam
@@ -315,8 +331,8 @@ class Raycaster:
                     idx_chunk = idx_all[sl]
                     color = jax.lax.cond(
                         k * chunk_size < num_hit,
-                        lambda _: render_chunk(traced, model_arg,
-                                               idx_chunk),
+                        lambda _: run_chunk(geometry, model_arg,
+                                            idx_chunk),
                         lambda _: jnp.zeros((chunk_size, 3)),
                         0)
                     return carry, color
@@ -337,7 +353,8 @@ class Raycaster:
     def render_frame(self, params, sampler: RaySampler, camera: int,
                      chunk_size: int = 16384,
                      color_space: str = "RGB",
-                     cull_empty: bool = True) -> np.ndarray:
+                     cull_empty: bool = True,
+                     mesh=None) -> np.ndarray:
         """Renders a full camera frame in ONE device dispatch.
 
         ``render_image`` (the parity path, ray_caster.py:140-159)
@@ -359,9 +376,13 @@ class Raycaster:
         ``lax.cond``. They render as background (black), which for a
         trained field matches the un-culled render up to the field's
         residual opacity in (dilated) empty space.
+
+        With ``mesh`` (a 1-D "data" mesh) each chunk is rendered
+        across all chips via ``shard_map`` — one whole (optionally
+        Pallas) render per device per chunk, rays sharded over ICI.
         """
         image = np.asarray(self.render_frame_async(
-            params, sampler, camera, chunk_size, cull_empty))
+            params, sampler, camera, chunk_size, cull_empty, mesh))
         if color_space == "YCrCb":
             import cv2
             image = cv2.cvtColor(image, cv2.COLOR_YCrCb2RGB)
@@ -369,13 +390,18 @@ class Raycaster:
 
     def render_frame_async(self, params, sampler: RaySampler,
                            camera: int, chunk_size: int = 16384,
-                           cull_empty: bool = True) -> jnp.ndarray:
+                           cull_empty: bool = True,
+                           mesh=None) -> jnp.ndarray:
         """Dispatches one frame and returns the DEVICE buffer without
         blocking — callers rendering sequences overlap frame f+1's
         compute with frame f's host transfer by dispatching first and
         converting previous results afterwards (see cli/orbit_video)."""
+        if mesh is not None:
+            # per-device chunk rows must tile evenly
+            chunk_size = -(-chunk_size // mesh.size) * mesh.size
         cull = cull_empty and hasattr(sampler, "probe_cdf")
-        frame_fn, geometry = self._frame_fn(sampler, chunk_size, cull)
+        frame_fn, geometry = self._frame_fn(sampler, chunk_size, cull,
+                                            mesh)
         model_arg = (self._get_fused_weights(params) if self.fused
                      else params)
         camera = jnp.asarray(camera % sampler.num_cameras, jnp.int32)

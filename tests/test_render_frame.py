@@ -56,7 +56,8 @@ def test_render_frame_single_compile_across_cameras(cameras, bounds):
     caster = ffn.Raycaster(model)
     sampler = RaySampler(bounds, cameras, num_samples=8)
     caster.render_frame(params, sampler, 0, chunk_size=100)
-    fn, _ = caster._render_fns[("frame", id(sampler), 100, False, False)]
+    fn, _ = caster._render_fns[
+        ("frame", id(sampler), 100, False, False, None)]
     sizes = fn._cache_size()
     caster.render_frame(params, sampler, 1, chunk_size=100)
     caster.render_frame(params, sampler, 2, chunk_size=100)
@@ -119,3 +120,35 @@ def test_render_frame_cull_empty(bounds, cameras):
     np.testing.assert_array_equal(culled[hit], full[hit])
     # probe-missed rays: exact background
     assert (culled[~hit] == 0).all()
+
+
+def test_render_frame_multichip_matches_single(cameras, bounds):
+    """shard_map frame render over 8 virtual devices == single-device,
+    both plain and culled paths."""
+    from fourier_feature_nets_tpu.octree import OcTree
+    from fourier_feature_nets_tpu.parallel import make_mesh
+    from fourier_feature_nets_tpu.render.occupancy_sampler import (
+        OccupancyGridSampler,
+    )
+    mesh = make_mesh(jax.devices("cpu"))
+    model = Voxels(side=8, scale=1.0)
+    params = model.init(jax.random.PRNGKey(0))
+    caster = ffn.Raycaster(model)
+
+    sampler = RaySampler(bounds, cameras, num_samples=8)
+    single = caster.render_frame(params, sampler, 1, chunk_size=96)
+    multi = caster.render_frame(params, sampler, 1, chunk_size=96,
+                                mesh=mesh)
+    assert np.abs(multi.astype(int) - single.astype(int)).max() <= 1
+
+    rng = np.random.default_rng(2)
+    cloud = np.concatenate([rng.normal([0.4, 0, 0], 0.08, (4000, 3)),
+                            [[-1, -1, -1], [1, 1, 1]]]).astype(np.float32)
+    tree = OcTree.build_from_samples(cloud, depth=5, min_leaf_size=2)
+    occ = OccupancyGridSampler(tree, cameras, num_samples=8,
+                               grid_resolution=16, num_probes=8,
+                               bounds=bounds)
+    single_c = caster.render_frame(params, occ, 0, chunk_size=64)
+    multi_c = caster.render_frame(params, occ, 0, chunk_size=64,
+                                  mesh=mesh)
+    np.testing.assert_array_equal(multi_c, single_c)
