@@ -17,6 +17,8 @@ from .sampling import (
     determine_cdf,
     inverse_cdf_from_bins,
     inverse_cdf_t_values,
+    merge_sorted,
+    per_ray_uniform,
     sample_positions,
     uniform_t_values,
 )
@@ -41,6 +43,8 @@ __all__ = [
     "determine_cdf",
     "inverse_cdf_from_bins",
     "inverse_cdf_t_values",
+    "merge_sorted",
+    "per_ray_uniform",
     "sample_positions",
     "uniform_t_values",
 ]

@@ -19,8 +19,78 @@ __all__ = [
     "uniform_t_values",
     "determine_cdf",
     "inverse_cdf_t_values",
+    "merge_sorted",
+    "per_ray_uniform",
     "sample_positions",
 ]
+
+
+def per_ray_uniform(rng: jax.Array, idx: jnp.ndarray, num_samples: int,
+                    salt: int = 0) -> jnp.ndarray:
+    """Uniform [0, 1) draws keyed by GLOBAL ray index, not batch slot.
+
+    Folding the step key with each ray's global index makes the jitter
+    a pure function of ``(seed, step, ray)`` — independent of how the
+    batch is laid out across devices. The GSPMD path (global batch)
+    and the shard_map path (per-device shards of the same batch)
+    therefore draw bit-identical samples, and re-sampling the same ray
+    in the same step is deterministic. A single batch-shaped
+    ``jax.random.uniform`` draw would instead key on *position within
+    the local array*, which diverges across sharding layouts (round-1
+    dryrun: gspmd loss 0.101686 vs shard_map 0.101021).
+
+    Args:
+        rng: step-level PRNG key.
+        idx: (R,) global ray indices.
+        num_samples: draws per ray.
+        salt: distinguishes independent streams per call site.
+
+    Returns:
+        (R, num_samples) uniforms.
+    """
+    base = jax.random.fold_in(rng, salt)
+    keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(base, idx)
+    return jax.vmap(
+        lambda k: jax.random.uniform(k, (num_samples,)))(keys)
+
+
+def merge_sorted(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Row-wise merge of two sorted sequences without a sort.
+
+    Per-ray ``jnp.sort`` lowers to a full bitonic network on TPU and
+    was measured pathologically slow (CLAUDE.md); but both t-value
+    sequences entering the hierarchical-sampling concat are already
+    monotone (jittered linspace; inverse-CDF of sorted quantiles), so
+    their union is a two-sequence MERGE: each element's output rank is
+    its own index plus a broadcast comparison count against the other
+    sequence, and the permutation is applied as a one-hot matmul
+    (MXU-friendly; per-row scatter/gather lowers to scalar loops on
+    TPU — see occupancy_sampler._occupancy_matmul for the same trick).
+    Ties break a-before-b.
+
+    Args:
+        a: (R, A) row-wise non-decreasing values.
+        b: (R, B) row-wise non-decreasing values.
+
+    Returns:
+        (R, A + B) sorted union.
+    """
+    num_a = a.shape[-1]
+    num_b = b.shape[-1]
+    total = num_a + num_b
+    # rank = own index + #elements of the other sequence ahead of me
+    less = (b[..., None, :] < a[..., :, None]).astype(jnp.int32)
+    rank_a = jnp.arange(num_a, dtype=jnp.int32) + jnp.sum(less, axis=-1)
+    leq = (a[..., None, :] <= b[..., :, None]).astype(jnp.int32)
+    rank_b = jnp.arange(num_b, dtype=jnp.int32) + jnp.sum(leq, axis=-1)
+
+    values = jnp.concatenate([a, b], axis=-1)
+    ranks = jnp.concatenate([rank_a, rank_b], axis=-1)
+    onehot = jax.nn.one_hot(ranks, total, dtype=values.dtype)
+    # HIGHEST precision: the default TPU matmul would round the
+    # t-values to bf16 on the way through the one-hot permutation
+    return jnp.einsum("...s,...sk->...k", values, onehot,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def batch_linspace(start: jnp.ndarray, stop: jnp.ndarray,
@@ -53,26 +123,31 @@ def anneal_near_far(near: jnp.ndarray, far: jnp.ndarray, step,
 
 
 def uniform_t_values(near: jnp.ndarray, far: jnp.ndarray, num_samples: int,
-                     rng: jax.Array = None) -> jnp.ndarray:
+                     rng: jax.Array = None,
+                     jitter: jnp.ndarray = None) -> jnp.ndarray:
     """Evenly spaced sample depths with optional stratified jitter.
 
     Parity: ray_sampler.py:380-386 — a linspace from near to far, plus
-    (when ``rng`` is given) per-sample uniform jitter of up to one bin
-    width ``(far - near) / num_samples``.
+    (when ``rng``/``jitter`` is given) per-sample uniform jitter of up
+    to one bin width ``(far - near) / num_samples``. The jitter never
+    exceeds the linspace step, so the output stays row-wise sorted.
 
     Args:
         near: (R,) entry depths.
         far: (R,) exit depths.
         num_samples: samples per ray.
         rng: PRNG key for stratified jitter, or None for deterministic.
+        jitter: optional precomputed (R, num_samples) uniforms in
+            [0, 1) (e.g. from ``per_ray_uniform``); overrides ``rng``.
 
     Returns:
-        (R, num_samples) t values.
+        (R, num_samples) t values (row-wise sorted).
     """
     t_values = batch_linspace(near, far, num_samples)
-    if rng is not None:
-        scale = (far - near) / num_samples
+    if jitter is None and rng is not None:
         jitter = jax.random.uniform(rng, t_values.shape, t_values.dtype)
+    if jitter is not None:
+        scale = (far - near) / num_samples
         t_values = t_values + jitter * scale[..., None]
     return t_values
 
@@ -171,7 +246,8 @@ def inverse_cdf_from_bins(t_edges: jnp.ndarray, cdf: jnp.ndarray,
 def inverse_cdf_t_values(near: jnp.ndarray, far: jnp.ndarray,
                          cdf: jnp.ndarray, num_samples: int,
                          num_cdf_samples: int,
-                         rng: jax.Array = None) -> jnp.ndarray:
+                         rng: jax.Array = None,
+                         quantiles: jnp.ndarray = None) -> jnp.ndarray:
     """Inverse-transform sampling of depths from a per-ray CDF.
 
     The coarse t grid is reconstructed exactly as the CDF was built
@@ -186,6 +262,10 @@ def inverse_cdf_t_values(near: jnp.ndarray, far: jnp.ndarray,
         num_samples: number of focus samples to draw per ray.
         num_cdf_samples: resolution of the coarse grid the CDF came from.
         rng: PRNG key for random quantiles, or None for even spacing.
+        quantiles: optional precomputed (R, num_samples) quantiles in
+            [0, 1); overrides ``rng``. Sorted quantiles yield sorted
+            t values (the inverse CDF is monotone), enabling a
+            sort-free downstream merge.
 
     Returns:
         (R, num_samples) sampled t values.
@@ -194,11 +274,13 @@ def inverse_cdf_t_values(near: jnp.ndarray, far: jnp.ndarray,
     t_values = 0.5 * (t_values[..., :-1] + t_values[..., 1:])
 
     num_rays = near.shape[0]
-    if rng is not None:
-        quantiles = jax.random.uniform(rng, (num_rays, num_samples))
-    else:
-        quantiles = jnp.broadcast_to(jnp.linspace(0.0, 1.0, num_samples),
-                                     (num_rays, num_samples))
+    if quantiles is None:
+        if rng is not None:
+            quantiles = jax.random.uniform(rng, (num_rays, num_samples))
+        else:
+            quantiles = jnp.broadcast_to(
+                jnp.linspace(0.0, 1.0, num_samples),
+                (num_rays, num_samples))
 
     # gather-free bracketing (see inverse_cdf_from_bins)
     hits = cdf[..., None, :] <= quantiles[..., :, None]

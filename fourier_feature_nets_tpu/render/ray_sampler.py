@@ -28,6 +28,8 @@ from ..ops import (
     bounds_min_max,
     determine_cdf,
     inverse_cdf_t_values,
+    merge_sorted,
+    per_ray_uniform,
     ray_aabb_near_far,
     uniform_t_values,
 )
@@ -197,7 +199,19 @@ class RaySampler:
 
         Parity: ray_sampler.py:359-403 — half the samples uniform
         (with optional stratified jitter), half inverse-CDF when focus
-        sampling is active, then sorted along the ray.
+        sampling is active, combined sorted along the ray.
+
+        TPU notes (deliberate departures, statistically equivalent):
+
+          * Stratified jitter is keyed by GLOBAL ray index
+            (``per_ray_uniform``), not batch position, so every
+            data-parallel layout (GSPMD, shard_map) draws identical
+            samples for the same (seed, step, ray).
+          * Focus quantiles are stratified ((k + u) / n, sorted by
+            construction) rather than iid-then-sorted; both halves
+            are then monotone and combine via a sort-free two-sequence
+            ``merge_sorted`` — per-ray ``jnp.sort`` lowers to a full
+            bitonic network on TPU (see CLAUDE.md runtime limits).
         """
         idx = jnp.asarray(idx)
         starts = self.starts[idx]
@@ -213,18 +227,26 @@ class RaySampler:
         num_uniform = (self.num_samples // 2 if self.focus_sampling
                        else self.num_samples)
 
-        uniform_rng = focus_rng = None
+        uniform_jitter = focus_quantiles = None
         if self.stratified and rng is not None:
-            uniform_rng, focus_rng = jax.random.split(rng)
+            uniform_jitter = per_ray_uniform(rng, idx, num_uniform,
+                                             salt=0)
+            if self.focus_sampling:
+                u = per_ray_uniform(rng, idx, self.num_focus_samples,
+                                    salt=1)
+                strata = jnp.arange(self.num_focus_samples,
+                                    dtype=u.dtype)
+                focus_quantiles = (strata + u) / self.num_focus_samples
 
-        t_values = uniform_t_values(near, far, num_uniform, uniform_rng)
+        t_values = uniform_t_values(near, far, num_uniform,
+                                    jitter=uniform_jitter)
 
         if self.focus_sampling:
             focus_t = inverse_cdf_t_values(
                 self.near[idx], self.far[idx], self.cdfs[idx],
-                self.num_focus_samples, self.num_focus_samples, focus_rng)
-            t_values = jnp.sort(
-                jnp.concatenate([t_values, focus_t], axis=-1), axis=-1)
+                self.num_focus_samples, self.num_focus_samples,
+                quantiles=focus_quantiles)
+            t_values = merge_sorted(t_values, focus_t)
 
         positions = (starts[:, None, :]
                      + t_values[..., None] * directions[:, None, :])

@@ -475,8 +475,9 @@ class Raycaster:
 
     def _train_forward(self, params, rays: RaySamples) -> RenderResult:
         """Differentiable forward for training: the Pallas fused
-        custom-VJP kernel when enabled (single-mesh NeRF), otherwise
-        the XLA autodiff path."""
+        custom-VJP kernel when enabled (NeRF; composes with DP via
+        shard_map — one whole kernel per device), otherwise the XLA
+        autodiff path."""
         if not self.fused_train:
             if self.remat:
                 return jax.checkpoint(
@@ -529,24 +530,53 @@ class Raycaster:
         """
         sampler = dataset.sampler
         stratified = sampler.stratified
-        # the fused kernel is not GSPMD-partitionable: use the XLA
-        # path under a mesh (or the shard_map DP step)
-        forward = (self._train_forward if mesh is None
-                   else lambda p, r: self.render(p, r, False))
 
-        def one_step(params, opt_state, perm, offset, step, rng):
-            idx = jax.lax.dynamic_slice(perm, (offset,), (batch_size,))
-            if mesh is not None:
-                idx = jax.lax.with_sharding_constraint(
-                    idx, NamedSharding(mesh, P("data")))
+        def local_loss_and_grads(params, idx, step, rng, forward):
             step_rng = jax.random.fold_in(rng, step) if stratified else None
             rays = sampler.sample(idx, step, step_rng)
 
             def loss_fn(p):
-                render = forward(p, rays)
-                return dataset.loss(idx, render)
+                return dataset.loss(idx, forward(p, rays))
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+            return jax.value_and_grad(loss_fn)(params)
+
+        if mesh is not None and self.fused_train:
+            # GSPMD cannot partition a pallas_call, but shard_map
+            # places one whole fused kernel per device: each chip runs
+            # the custom-VJP recompute-backward kernel on its ray
+            # shard, then the loss/grads pmean over ICI. Stratified
+            # jitter is keyed per global ray index (per_ray_uniform),
+            # so this draws the same samples as the GSPMD layout.
+            from functools import partial
+
+            @partial(jax.shard_map, mesh=mesh,
+                     in_specs=(P(), P("data"), P(), P()),
+                     out_specs=(P(), P()), check_vma=False)
+            def loss_and_grads(params, idx, step, rng):
+                loss, grads = local_loss_and_grads(
+                    params, idx, step, rng, self._train_forward)
+                loss = jax.lax.pmean(loss, "data")
+                grads = jax.tree.map(
+                    lambda g: jax.lax.pmean(g, "data"), grads)
+                return loss, grads
+        elif mesh is not None:
+            # XLA autodiff path: a sharding constraint on the ray
+            # index batch is enough — GSPMD shards the whole step and
+            # inserts the gradient all-reduce
+            def loss_and_grads(params, idx, step, rng):
+                idx = jax.lax.with_sharding_constraint(
+                    idx, NamedSharding(mesh, P("data")))
+                return local_loss_and_grads(
+                    params, idx, step, rng,
+                    lambda p, r: self.render(p, r, False))
+        else:
+            def loss_and_grads(params, idx, step, rng):
+                return local_loss_and_grads(params, idx, step, rng,
+                                            self._train_forward)
+
+        def one_step(params, opt_state, perm, offset, step, rng):
+            idx = jax.lax.dynamic_slice(perm, (offset,), (batch_size,))
+            loss, grads = loss_and_grads(params, idx, step, rng)
             lr = exponential_lr(learning_rate, step, decay_rate,
                                 decay_steps)
             params, opt_state = adam_update(

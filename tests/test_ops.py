@@ -365,3 +365,57 @@ class TestGatherFreeInverseCDF:
             jnp.asarray(edges), jnp.asarray(cdf), 12))
         want = self._reference(edges, cdf, quantiles)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+class TestMergeSorted:
+    """ops.merge_sorted: sort-free union of two sorted sequences."""
+
+    def test_matches_sort(self, rng):
+        a = np.sort(rng.uniform(0, 10, (32, 7)).astype(np.float32), -1)
+        b = np.sort(rng.uniform(0, 10, (32, 5)).astype(np.float32), -1)
+        got = np.asarray(ops.merge_sorted(jnp.asarray(a), jnp.asarray(b)))
+        want = np.sort(np.concatenate([a, b], -1), -1)
+        # a permutation, not arithmetic: exact equality required
+        np.testing.assert_array_equal(got, want)
+
+    def test_ties_and_duplicates(self):
+        a = jnp.asarray([[1.0, 2.0, 2.0, 5.0]])
+        b = jnp.asarray([[2.0, 2.0, 3.0]])
+        got = np.asarray(ops.merge_sorted(a, b))[0]
+        np.testing.assert_array_equal(got, [1, 2, 2, 2, 2, 3, 5])
+
+    def test_under_jit_and_grad(self):
+        """merge is a permutation: gradients flow through unchanged."""
+        a = jnp.asarray([[0.0, 2.0]])
+        b = jnp.asarray([[1.0]])
+
+        def f(a, b):
+            return jnp.sum(ops.merge_sorted(a, b) * jnp.asarray([1., 2., 3.]))
+
+        ga, gb = jax.jit(jax.grad(f, argnums=(0, 1)))(a, b)
+        np.testing.assert_allclose(np.asarray(ga), [[1.0, 3.0]])
+        np.testing.assert_allclose(np.asarray(gb), [[2.0]])
+
+
+class TestPerRayUniform:
+    """ops.per_ray_uniform: layout-invariant stratified RNG."""
+
+    def test_layout_invariant(self):
+        key = jax.random.PRNGKey(7)
+        idx = jnp.asarray([3, 1, 4, 1, 5, 9, 2, 6], jnp.int32)
+        full = np.asarray(ops.per_ray_uniform(key, idx, 4))
+        # any re-ordering / sharding of the batch draws the same values
+        perm = np.asarray([5, 2, 0, 7, 1, 3, 4, 6])
+        shuffled = np.asarray(ops.per_ray_uniform(key, idx[perm], 4))
+        np.testing.assert_array_equal(shuffled, full[perm])
+        # shards (as shard_map would see them) also agree
+        lo = np.asarray(ops.per_ray_uniform(key, idx[:4], 4))
+        np.testing.assert_array_equal(lo, full[:4])
+
+    def test_salt_decorrelates(self):
+        key = jax.random.PRNGKey(7)
+        idx = jnp.arange(8, dtype=jnp.int32)
+        a = np.asarray(ops.per_ray_uniform(key, idx, 4, salt=0))
+        b = np.asarray(ops.per_ray_uniform(key, idx, 4, salt=1))
+        assert not np.array_equal(a, b)
+        assert (a >= 0).all() and (a < 1).all()

@@ -140,3 +140,87 @@ def test_shard_map_fused_train_step(scene):
                              jnp.asarray(0, jnp.int32),
                              jax.random.PRNGKey(0))
     assert float(loss) == pytest.approx(float(loss2), rel=1e-3)
+
+
+def test_stratified_rng_agrees_across_dp_paths(tmp_path):
+    """GSPMD and shard_map draw bit-identical stratified jitter.
+
+    The jitter is keyed per GLOBAL ray index (ops.per_ray_uniform), so
+    the loss of one stratified step matches across sharding layouts up
+    to reduction order (round-1 VERDICT item 10)."""
+    path = tmp_path / "scene.npz"
+    generate_synthetic_dataset(str(path), resolution=16,
+                               split_counts=(2, 1, 1), volume_side=16,
+                               num_samples=32)
+    scene = ffn.ImageDataset.load(str(path), "train", num_samples=8,
+                                  stratified=True)
+    mesh = make_mesh(jax.devices("cpu"))
+    model = Voxels(side=8, scale=1.0)
+    caster = ffn.Raycaster(model)
+    params = model.init(jax.random.PRNGKey(0))
+
+    pool = jnp.asarray(scene.index_pool().astype(np.int32))
+    perm = jax.random.permutation(jax.random.PRNGKey(1), pool)
+    batch = 64
+
+    gspmd = caster._make_train_step(scene, batch, 0.01, 0.9, 25000,
+                                    0.0, mesh=mesh)
+    _, _, loss1 = gspmd(replicate(jax.tree.map(jnp.copy, params), mesh),
+                        replicate(adam_init(params), mesh), perm,
+                        jnp.asarray(0, jnp.int32),
+                        jnp.asarray(0, jnp.int32), jax.random.PRNGKey(2))
+
+    dp_step = make_shard_map_train_step(caster, scene, batch, 0.01, 0.9,
+                                        25000, 0.0, mesh)
+    _, _, loss2 = dp_step(replicate(jax.tree.map(jnp.copy, params), mesh),
+                          replicate(adam_init(params), mesh),
+                          shard_rays(perm[:batch], mesh),
+                          jnp.asarray(0, jnp.int32), jax.random.PRNGKey(2))
+
+    # single device, same global batch: also identical
+    single = caster._make_train_step(scene, batch, 0.01, 0.9, 25000,
+                                     0.0, mesh=None)
+    _, _, loss3 = single(jax.tree.map(jnp.copy, params),
+                         adam_init(params), perm,
+                         jnp.asarray(0, jnp.int32),
+                         jnp.asarray(0, jnp.int32), jax.random.PRNGKey(2))
+
+    assert float(loss1) == pytest.approx(float(loss2), rel=1e-6)
+    assert float(loss1) == pytest.approx(float(loss3), rel=1e-6)
+
+
+def test_fit_routes_fused_kernel_under_mesh(scene):
+    """fit()'s train step uses the fused Pallas kernel under a mesh
+    (via shard_map) and matches the single-device fused step exactly
+    (round-1 VERDICT item 3: the fused path must not silently fall
+    back to XLA when mesh is not None)."""
+    from fourier_feature_nets_tpu.models import NeRF
+    mesh = make_mesh(jax.devices("cpu"))
+    model = NeRF(num_layers=2, num_channels=32, max_log_scale_pos=3.0,
+                 num_freq_pos=4, max_log_scale_view=1.0, num_freq_view=2,
+                 skips=[1], include_inputs=True)
+    caster = ffn.Raycaster(model, fused_train=True)
+    params = model.init(jax.random.PRNGKey(0))
+
+    pool = jnp.asarray(scene.index_pool().astype(np.int32))
+    perm = jax.random.permutation(jax.random.PRNGKey(1), pool)
+    batch = 64
+
+    dp = caster._make_train_step(scene, batch, 5e-4, 0.1, 250000, 0.0,
+                                 mesh=mesh)
+    p1, _, loss1 = dp(replicate(jax.tree.map(jnp.copy, params), mesh),
+                      replicate(adam_init(params), mesh), perm,
+                      jnp.asarray(0, jnp.int32),
+                      jnp.asarray(0, jnp.int32), jax.random.PRNGKey(2))
+
+    single = caster._make_train_step(scene, batch, 5e-4, 0.1, 250000,
+                                     0.0, mesh=None)
+    p2, _, loss2 = single(jax.tree.map(jnp.copy, params),
+                          adam_init(params), perm,
+                          jnp.asarray(0, jnp.int32),
+                          jnp.asarray(0, jnp.int32), jax.random.PRNGKey(2))
+
+    assert float(loss1) == pytest.approx(float(loss2), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
