@@ -23,6 +23,7 @@ from ..utils.camera_paths import orbit
 __all__ = ["camera_to_world_animation", "world_to_camera_animation",
            "ray_cube_intersection_animation",
            "rendering_equation_animation", "volume_raycasting_animation",
+           "voxels_animation", "view_angle_animation",
            "save_all_animations"]
 
 
@@ -227,8 +228,168 @@ def volume_raycasting_animation(output_dir, num_frames=40,
     _save_frames(frame, num_frames, output_dir, "volume_raycasting")
 
 
+def voxels_animation(voxels, output_dir, min_depth=4, num_frames=60):
+    """A model increasing in voxel resolution (voxels_animation.py
+    equivalent): the octree is pruned from its full depth down to
+    ``min_depth``; an orbiting view shows each level's leaf voxels
+    (colored by leaf data) with a voxel-count label, sweeping from
+    coarse to fine over the animation.
+
+    Args:
+        voxels: an :class:`~fourier_feature_nets_tpu.octree.OcTree`
+            at maximum resolution (it is pruned level by level).
+        output_dir: directory for the PNG frames + MP4.
+        min_depth: coarsest level in the sweep.
+        num_frames: frames in the orbit.
+    """
+    plt = _agg_plt()
+    max_depth = voxels.depth
+    levels = {}
+    while voxels.depth >= min_depth:
+        colors = voxels.leaf_data()
+        if colors is None:
+            colors = np.full((voxels.num_leaves, 3), 0.5, np.float32)
+        levels[voxels.depth] = (voxels.leaf_centers(),
+                                voxels.leaf_depths(),
+                                np.clip(colors[:, :3], 0.0, 1.0),
+                                voxels.scale)
+        if voxels.depth == min_depth:
+            break
+        voxels = voxels.prune()
+
+    frame_depth = np.linspace(min_depth, max_depth + 1, num_frames,
+                              endpoint=False).astype(np.int32)
+
+    def frame(i):
+        centers, depths, colors, scale = levels[int(frame_depth[i])]
+        fig = plt.figure(figsize=(6, 6))
+        ax = fig.add_subplot(projection="3d")
+        # marker area tracks the world-space voxel edge length
+        sizes = (2.0 ** (1 - depths.astype(np.float32)) * scale
+                 / (2 * scale) * 72) ** 2
+        ax.scatter(centers[:, 0], centers[:, 1], centers[:, 2],
+                   c=colors, s=sizes, marker="s", depthshade=False)
+        ax.view_init(elev=20, azim=360.0 * i / num_frames)
+        lim = scale
+        ax.set_xlim(-lim, lim)
+        ax.set_ylim(-lim, lim)
+        ax.set_zlim(-lim, lim)
+        ax.set_axis_off()
+        ax.set_title(f"{len(centers)} voxels")
+        return fig
+
+    _save_frames(frame, num_frames, output_dir, "voxels")
+
+
+def view_angle_animation(dataset, raycaster, params, output_dir,
+                         camera=1, row=None, col=None,
+                         angle_threshold=0.5, patch_size=32,
+                         zoom_size=128):
+    """How one surface point looks from different viewing angles
+    (view_angle.py equivalent): a pixel in a source camera is lifted
+    to 3D using the model's rendered depth, then every camera within
+    ``angle_threshold`` (cosine) of the source view gets a frame
+    showing its image, the reprojected patch around the point, and a
+    magnified inset of that patch.
+
+    Args:
+        dataset: an ImageDataset (images + cameras + ray sampler).
+        raycaster / params: model used to render the pixel's depth.
+        output_dir: directory for the PNG frames + MP4.
+        camera: source camera index.
+        row / col: source pixel (defaults to the image center).
+        angle_threshold: minimum cosine between camera positions.
+        patch_size / zoom_size: reprojected patch + inset sizes.
+    """
+    import cv2
+    import jax.numpy as jnp
+
+    sampler = dataset.sampler
+    width = sampler.image_width
+    height = sampler.image_height
+    if row is None:
+        row = height // 2
+    if col is None:
+        col = width // 2
+
+    # lift the source pixel to 3D with the model's depth
+    import jax
+
+    index = camera * sampler.rays_per_camera + row * width + col
+    rng = jax.random.PRNGKey(0) if sampler.stratified else None
+    rays = sampler.sample(jnp.asarray([index]), None, rng)
+    render = raycaster.render(params, rays, include_depth=True)
+    start = np.asarray(sampler.starts[index])
+    direction = np.asarray(sampler.directions[index])
+    position = start + direction * float(render.depth[0])
+
+    def _rgb(image):
+        image = image.astype(np.float32) / 255
+        if image.shape[-1] == 4:
+            image = image[..., :3] * image[..., 3:]
+        return (image * 255).astype(np.uint8)
+
+    source_pos = dataset.cameras[camera].position.reshape(-1)
+    source_pos = source_pos / np.linalg.norm(source_pos)
+
+    frame_dir = os.path.join(output_dir, "view_angle")
+    os.makedirs(frame_dir, exist_ok=True)
+    writer = None
+    half = patch_size // 2
+    zoom_row = (height - zoom_size) // 2
+    zoom_col = width + (width - zoom_size) // 2
+    out = 0
+    for cam, image in zip(dataset.cameras, dataset.images):
+        pos = cam.position.reshape(-1)
+        angle = float((source_pos * pos / np.linalg.norm(pos)).sum())
+        if angle < angle_threshold:
+            continue
+
+        u, v = cam.project(position[np.newaxis])[0]
+        c, r = int(u) - half, int(v) - half
+        if not (0 <= r <= height - patch_size
+                and 0 <= c <= width - patch_size):
+            continue
+        image = _rgb(image)
+        patch = cv2.resize(image[r:r + patch_size, c:c + patch_size],
+                           (zoom_size, zoom_size),
+                           interpolation=cv2.INTER_NEAREST)
+
+        frame = np.zeros((height, 2 * width, 3), np.uint8)
+        frame[:, :width] = image
+        frame[zoom_row:zoom_row + zoom_size,
+              zoom_col:zoom_col + zoom_size] = patch
+        white = (255, 255, 255)
+        cv2.rectangle(frame, (c, r), (c + patch_size, r + patch_size),
+                      white, 2)
+        cv2.rectangle(frame, (zoom_col, zoom_row),
+                      (zoom_col + zoom_size, zoom_row + zoom_size),
+                      white, 2)
+        cv2.line(frame, (c + patch_size, r), (zoom_col, zoom_row),
+                 white, 2)
+        cv2.line(frame, (c + patch_size, r + patch_size),
+                 (zoom_col, zoom_row + zoom_size), white, 2)
+
+        bgr = cv2.cvtColor(frame, cv2.COLOR_RGB2BGR)
+        cv2.imwrite(os.path.join(frame_dir, f"frame_{out:04d}.png"), bgr)
+        if writer is None:
+            writer = cv2.VideoWriter(
+                os.path.join(output_dir, "view_angle.mp4"),
+                cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                (frame.shape[1], frame.shape[0]))
+        writer.write(bgr)
+        out += 1
+    if writer is not None:
+        writer.release()
+    return out
+
+
 def save_all_animations(output_dir: str, num_frames: int = 40):
-    """Renders every lecture animation."""
+    """Renders every lecture animation that needs no trained model.
+
+    ``voxels_animation`` and ``view_angle_animation`` take an octree /
+    trained model respectively and are invoked separately.
+    """
     camera_to_world_animation(output_dir, num_frames)
     world_to_camera_animation(output_dir, num_frames)
     ray_cube_intersection_animation(output_dir, num_frames)

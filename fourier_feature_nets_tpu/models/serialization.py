@@ -92,14 +92,34 @@ def build_model(model_type: str, ctor_params: dict) -> Model:
 def load_model(path: str) -> Tuple[Model, dict]:
     """Loads a model from an NPZ (or reference .pt) checkpoint.
 
+    When ``path`` does not exist but its basename is a known pretrained
+    asset, the checkpoint is downloaded to the framework cache first
+    (reference utils.py:448-477 behavior). Offline, the download fails
+    gracefully and a FileNotFoundError with the asset name is raised.
+
     Returns:
         (model, params): the reconstructed model object and its
         parameter pytree.
     """
+    if not os.path.exists(path):
+        from ..utils.assets import ASSETS, default_data_dir, download_asset
+
+        name = os.path.basename(path)
+        cached = os.path.join(default_data_dir(), "models", name)
+        if os.path.exists(cached):
+            path = cached
+        elif name in ASSETS:
+            print("Downloading model...")
+            if download_asset(name, cached):
+                path = cached
+            else:
+                raise FileNotFoundError(
+                    f"{path}: known asset {name!r} could not be "
+                    "downloaded (offline?)")
+        else:
+            raise FileNotFoundError(path)
     if path.endswith(".pt") or path.endswith(".pth"):
         return load_torch_model(path)
-    if not os.path.exists(path):
-        raise FileNotFoundError(path)
     with np.load(path, allow_pickle=False) as data:
         manifest = json.loads(str(data["__manifest__"]))
         flat = {k: data[k] for k in data.files if k != "__manifest__"}

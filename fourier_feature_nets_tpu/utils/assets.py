@@ -28,8 +28,40 @@ _ONEDRIVE = {
     "trex_800.npz": "https://1drv.ms/u/s!AnWvK2b51nGqluM63nCZzfryxRR7ow",
 }
 
-#: Names of datasets known to the framework.
-ASSETS = dict(_ONEDRIVE)
+_PRETRAINED = {
+    # reference-trained model checkpoints (utils.py:113-133); these are
+    # torch .pt files — load_model imports them via load_torch_model.
+    "antinous_800_vox128.pt": "https://1drv.ms/u/s!AnWvK2b51nGqluJLoo7yjPYQz8W5dg",
+    "antinous_800_nerf.pt": "https://1drv.ms/u/s!AnWvK2b51nGqluJclttRvj65vHpUiA",
+    "benin_800_vox128.pt": "https://1drv.ms/u/s!AnWvK2b51nGqluJNUlKmPZJiZ3HUlg",
+    "benin_800_nerf.pt": "https://1drv.ms/u/s!AnWvK2b51nGqluJd2newCq4oVIlrXw",
+    "lego_800_vox128.pt": "https://1drv.ms/u/s!AnWvK2b51nGqluJM8A6nLNsSxgaZLw",
+    "lego_800_nerf.pt": "https://1drv.ms/u/s!AnWvK2b51nGqluJeY79jz1o51K4CIg",
+    "matthew_800_vox128.pt": "https://1drv.ms/u/s!AnWvK2b51nGqluJOcOc6Ce3ZUcQl3g",
+    "matthew_800_nerf.pt": "https://1drv.ms/u/s!AnWvK2b51nGqluJf0KKODbTR291vwQ",
+    "trex_800_vox128.pt": "https://1drv.ms/u/s!AnWvK2b51nGqluM74RKvya3PjvzqTw",
+    "trex_800_nerf.pt": "https://1drv.ms/u/s!AnWvK2b51nGqluNNxRr0lxo_U8-Kmg",
+    "antinous_400_mlp.pt": "https://1drv.ms/u/s!AnWvK2b51nGqluJqpdzBhx9QAtbJ-g",
+    "antinous_400_pos.pt": "https://1drv.ms/u/s!AnWvK2b51nGqluJokd4Fl4UGLI_bNw",
+    "benin_400_mlp.pt": "https://1drv.ms/u/s!AnWvK2b51nGqluJlhzc0JjMUus5HsA",
+    "benin_400_pos.pt": "https://1drv.ms/u/s!AnWvK2b51nGqluJkAd3De0s2DR_RoA",
+    "lego_400_mlp.pt": "https://1drv.ms/u/s!AnWvK2b51nGqluJnRCQdmHfJiXvGNw",
+    "lego_400_pos.pt": "https://1drv.ms/u/s!AnWvK2b51nGqluJrPmpRYZlP0fP5Eg",
+    "matthew_400_mlp.pt": "https://1drv.ms/u/s!AnWvK2b51nGqluJmKYDqQpitLHVIHg",
+    "matthew_400_pos.pt": "https://1drv.ms/u/s!AnWvK2b51nGqluJpn1o7zC8uhdSDXA",
+    "trex_400_mlp.pt": "https://1drv.ms/u/s!AnWvK2b51nGqluNLAlM2t9uTqFO5DA",
+    "trex_400_pos.pt": "https://1drv.ms/u/s!AnWvK2b51nGqluNMcZoNeFnSwCnSNw",
+}
+
+_OCTREES = {
+    # pre-built octree scenes (utils.py:134-135)
+    "antinous_octree_8.npz": "https://1drv.ms/u/s!AnWvK2b51nGqluJt3FR8NAJW84HT2A",
+    "antinous_octree_10.npz": "https://1drv.ms/u/s!AnWvK2b51nGqluJupuBKuwq0hYk-Tw",
+}
+
+#: All assets known to the framework: 12 datasets, 20 pretrained model
+#: checkpoints, 2 octree scenes (reference utils.py:100-136 registry).
+ASSETS = {**_ONEDRIVE, **_PRETRAINED, **_OCTREES}
 
 
 def default_data_dir() -> str:

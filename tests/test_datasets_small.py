@@ -1,0 +1,156 @@
+"""Golden unit tests for PixelDataset / SignalDataset semantics and
+the load_model asset fallback.
+
+Parity targets: reference pixel_dataset.py:45-104 (UV range, center
+crop, train/val split), signal_dataset.py:40-68 (sample_rate split),
+utils.py:448-477 (load_model auto-download of known assets).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import fourier_feature_nets_tpu as ffn
+from fourier_feature_nets_tpu.datasets.pixel_dataset import PixelDataset
+from fourier_feature_nets_tpu.datasets.signal_dataset import SignalDataset
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _write_image(path, pixels_rgb):
+    cv2.imwrite(path, cv2.cvtColor(pixels_rgb, cv2.COLOR_RGB2BGR))
+
+
+class TestPixelDataset:
+    def test_uv_grids_span_zero_to_two(self, tmp_path):
+        """UVs span [0, 2) with spacing 2/size (pixel_dataset.py:90-99)."""
+        size = 8
+        img = np.arange(size * size * 3, dtype=np.uint8).reshape(
+            size, size, 3)
+        path = str(tmp_path / "img.png")
+        _write_image(path, img)
+        ds = PixelDataset.create(path, "RGB", size)
+
+        val_uv = np.asarray(ds.val_uv)
+        assert val_uv.shape == (size, size, 2)
+        assert val_uv.min() == 0.0
+        assert val_uv.max() == pytest.approx(2.0 - 2.0 / size)
+        np.testing.assert_allclose(val_uv[0, :, 0],
+                                   np.arange(size) * 2.0 / size)
+
+        train_uv = np.asarray(ds.train_uv)
+        assert train_uv.shape == (size // 2, size // 2, 2)
+        assert train_uv.max() == pytest.approx(2.0 - 4.0 / size)
+
+        gen = np.asarray(PixelDataset.generate_uvs(4))
+        np.testing.assert_allclose(np.unique(gen), [0.0, 0.5, 1.0, 1.5])
+
+    def test_train_split_every_other_pixel(self, tmp_path):
+        """Train colors are pixels[::2, ::2]; val is the full image
+        (pixel_dataset.py:100-104)."""
+        size = 8
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+        path = str(tmp_path / "img.png")
+        _write_image(path, img)
+        ds = PixelDataset.create(path, "RGB", size)
+
+        val = np.asarray(ds.val_color)
+        train = np.asarray(ds.train_color)
+        np.testing.assert_allclose(val, img / 255.0, atol=1e-6)
+        np.testing.assert_allclose(train, val[::2, ::2], atol=1e-6)
+
+    def test_center_crop_non_square(self, tmp_path):
+        """A wide image is center-cropped to square before resizing
+        (pixel_dataset.py:58-66)."""
+        h, w = 8, 16
+        img = np.zeros((h, w, 3), np.uint8)
+        img[:, :4] = 255      # left strip: cropped away
+        img[:, 4:12] = 128    # center square: kept
+        path = str(tmp_path / "wide.png")
+        _write_image(path, img)
+        ds = PixelDataset.create(path, "RGB", h)
+        val = np.asarray(ds.val_color)
+        assert val.shape == (h, h, 3)
+        np.testing.assert_allclose(val, 128 / 255.0, atol=1e-2)
+
+        # tall image: crop rows instead
+        tall = np.swapaxes(img, 0, 1)
+        path = str(tmp_path / "tall.png")
+        _write_image(path, tall)
+        ds = PixelDataset.create(path, "RGB", h)
+        np.testing.assert_allclose(np.asarray(ds.val_color),
+                                   128 / 255.0, atol=1e-2)
+
+    def test_psnr_of_ground_truth_is_capped(self, tmp_path):
+        size = 8
+        img = np.full((size, size, 3), 77, np.uint8)
+        path = str(tmp_path / "img.png")
+        _write_image(path, img)
+        ds = PixelDataset.create(path, "RGB", size)
+        assert ds.psnr(ds.val_color) == pytest.approx(100.0)
+
+
+class TestSignalDataset:
+    def test_sample_rate_split(self):
+        """Val is the dense num_samples*sample_rate grid over [0, 2);
+        train takes every sample_rate-th point (signal_dataset.py:40-68)."""
+        num_samples, rate = 8, 4
+        ds = SignalDataset.create(np.sin, num_samples, rate)
+
+        val_x = np.asarray(ds.val_x).reshape(-1)
+        train_x = np.asarray(ds.train_x).reshape(-1)
+        assert val_x.shape == (num_samples * rate,)
+        assert train_x.shape == (num_samples,)
+        np.testing.assert_allclose(
+            val_x, np.linspace(0, 2, num_samples * rate, endpoint=False),
+            atol=1e-6)
+        np.testing.assert_allclose(train_x, val_x[::rate], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ds.train_y).reshape(-1),
+                                   np.sin(train_x), atol=1e-6)
+        # x limits stretch the val range by 1.1 about its midpoint
+        lo, hi = ds.x_lim
+        assert lo < 0.0 < hi and hi > val_x[-1]
+
+
+class TestLoadModelAssets:
+    def test_unknown_path_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            ffn.load_model(str(tmp_path / "nope.npz"))
+
+    def test_known_asset_offline_raises_with_name(self, monkeypatch,
+                                                  tmp_path):
+        """A known pretrained name triggers the download fallback and
+        fails gracefully offline (utils.py:448-477 parity)."""
+        from fourier_feature_nets_tpu.utils import assets
+
+        assert "lego_800_nerf.pt" in assets.ASSETS
+        monkeypatch.setattr(assets, "download_asset",
+                            lambda name, path: False)
+        monkeypatch.setenv("FFN_TPU_DATA_DIR", str(tmp_path))
+        with pytest.raises(FileNotFoundError, match="lego_800_nerf.pt"):
+            ffn.load_model("lego_800_nerf.pt")
+
+    def test_known_asset_downloaded_is_loaded(self, monkeypatch,
+                                              tmp_path):
+        """When the downloader produces the file, load_model loads it
+        from the cache."""
+        from fourier_feature_nets_tpu.utils import assets
+
+        model = ffn.FourierFeatureMLP(2, 3, None, None, [8, 3])
+        params = model.init(__import__("jax").random.PRNGKey(0))
+
+        def fake_download(name, path):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            ffn.save_model(model, params, path)
+            return True
+
+        monkeypatch.setattr(assets, "download_asset", fake_download)
+        monkeypatch.setenv("FFN_TPU_DATA_DIR", str(tmp_path))
+        monkeypatch.setitem(assets.ASSETS, "tiny_test_model.npz", "x")
+        loaded, loaded_params = ffn.load_model("tiny_test_model.npz")
+        assert loaded.model_type == "fourier"
+        np.testing.assert_allclose(
+            np.asarray(loaded_params["layers"][0]["weight"]),
+            np.asarray(params["layers"][0]["weight"]))
