@@ -1,0 +1,148 @@
+"""Breaks the bench.py 800x800 orbit frame into component timings on
+the real TPU: probe, partition, per-chunk sampling, fused kernel.
+All timings use the chained-carry method (see bench.py header).
+
+Usage: python tools/profile_frame.py
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def chain(fn, *args, iters=5):
+    import jax.numpy as jnp
+    carry = fn(*args, jnp.float32(0.0))
+    float(carry)
+    start = time.perf_counter()
+    for _ in range(iters):
+        carry = fn(*args, carry)
+    float(carry)
+    return (time.perf_counter() - start) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from fourier_feature_nets_tpu.cameras import Resolution
+    from fourier_feature_nets_tpu.models import NeRF
+    from fourier_feature_nets_tpu.octree import OcTree
+    from fourier_feature_nets_tpu.render.occupancy_sampler import (
+        OccupancyGridSampler,
+    )
+    from fourier_feature_nets_tpu.render.raycaster import Raycaster
+    from fourier_feature_nets_tpu.utils.camera_paths import orbit
+
+    model = NeRF(num_layers=8, num_channels=256, max_log_scale_pos=9.0,
+                 num_freq_pos=10, max_log_scale_view=3.0,
+                 num_freq_view=4, skips=[4], include_inputs=True)
+    params = model.init(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(1)
+    cloud = np.concatenate([
+        rng.normal([0.2, 0.0, 0.0], 0.2, (20000, 3)),
+        [[-1, -1, -1], [1, 1, 1]],
+    ]).astype(np.float32)
+    tree = OcTree.build_from_samples(cloud, depth=6, min_leaf_size=2)
+    cameras = orbit(np.array([0.0, 1.0, 0.0]),
+                    np.array([0.0, 0.0, 1.0]), 12, 40.0,
+                    Resolution(800, 800), 4.0)
+    bounds = np.diag([2.0, 2.0, 2.0, 1.0]).astype(np.float32)
+    sampler = OccupancyGridSampler(tree, cameras, 32,
+                                   grid_resolution=64, num_probes=32,
+                                   bounds=bounds)
+    caster = Raycaster(model, compute_dtype=jnp.bfloat16, fused=True)
+
+    chunk_size = 16384
+    rays_per_cam = sampler.rays_per_camera
+    num_chunks = -(-rays_per_cam // chunk_size)
+    total = num_chunks * chunk_size
+    idx_all = jnp.arange(total, dtype=jnp.int32) % rays_per_cam
+
+    # hit fraction
+    @jax.jit
+    def count_hits(c):
+        _, _, hit = sampler.probe_cdf(idx_all + (c * 0).astype(jnp.int32))
+        return jnp.sum(hit.astype(jnp.int32)).astype(jnp.float32)
+
+    hits = float(count_hits(jnp.float32(0.0)))
+    print(f"rays {total}, hit {hits:.0f} ({hits / total:.1%}), "
+          f"chunks {num_chunks}, hit-chunks ~{int(np.ceil(hits / chunk_size))}",
+          file=sys.stderr)
+
+    # 1. whole frame (production path)
+    t_frame = chain(
+        lambda c: jnp.float32(
+            np.asarray(caster.render_frame(params, sampler, 0,
+                                           chunk_size=chunk_size)
+                       ).mean() * 0 ) + c + 1,
+        iters=5)
+    print(f"frame total          : {t_frame * 1e3:8.1f} ms")
+
+    # 2. probe_cdf over all rays
+    @jax.jit
+    def probe_all(c):
+        edges, cdf, hit = sampler.probe_cdf(idx_all)
+        return c + jnp.sum(cdf[:, -1]) * 1e-9 + jnp.sum(edges[:, 0]) * 0
+
+    print(f"probe all rays       : {chain(probe_all) * 1e3:8.1f} ms")
+
+    # 3. partition (cumsum + scatter perm + unperm scatter)
+    @jax.jit
+    def partition(c):
+        _, _, hit = sampler.probe_cdf(idx_all)
+        num_hit = jnp.sum(hit.astype(jnp.int32))
+        hit_slot = jnp.cumsum(hit.astype(jnp.int32)) - 1
+        miss_slot = num_hit + jnp.cumsum((~hit).astype(jnp.int32)) - 1
+        slot = jnp.where(hit, hit_slot, miss_slot)
+        perm = jnp.zeros(total, jnp.int32).at[slot].set(
+            jnp.arange(total, dtype=jnp.int32))
+        colors = jnp.zeros((total, 3)) + c
+        unperm = jnp.zeros((total, 3)).at[perm].set(colors)
+        return jnp.sum(unperm) * 1e-12 + c
+
+    print(f"probe + partition    : {chain(partition) * 1e3:8.1f} ms")
+
+    # 4. per-chunk sample() (includes the SECOND probe of hit rays)
+    idx_chunk = idx_all[:chunk_size]
+
+    @jax.jit
+    def sample_chunk(c):
+        rays = sampler.sample(idx_chunk + (c * 0).astype(jnp.int32))
+        return c + jnp.sum(rays.t_values) * 1e-9
+
+    t_sample = chain(sample_chunk)
+    print(f"sample 1 chunk       : {t_sample * 1e3:8.1f} ms "
+          f"(x{num_chunks} = {t_sample * num_chunks * 1e3:.1f} ms)")
+
+    # 5. fused kernel on one chunk (sampling excluded: fixed t grid)
+    from fourier_feature_nets_tpu.ops.fused_nerf import (
+        fused_nerf_apply, prepare_fused_nerf)
+    from fourier_feature_nets_tpu.render.raycaster import _composite
+
+    weights = prepare_fused_nerf(model, params, dtype=jnp.bfloat16)
+    t_vals = jnp.linspace(1.0, 4.0, 32)[None, :].repeat(chunk_size, 0)
+    d = jax.random.normal(jax.random.PRNGKey(0), (chunk_size, 3))
+    d = d / jnp.linalg.norm(d, -1, keepdims=True)
+    s = jnp.zeros((chunk_size, 3))
+    pos = s[:, None] + t_vals[..., None] * d[:, None]
+    views = jnp.broadcast_to(d[:, None], pos.shape)
+
+    @jax.jit
+    def kernel_chunk(c):
+        flat = fused_nerf_apply(model, weights,
+                                (pos + c * 0.0).reshape(-1, 3),
+                                views.reshape(-1, 3))
+        out = _composite(flat.reshape(chunk_size, 32, 4), t_vals, False)
+        return c + jnp.sum(out.color) * 1e-9
+
+    t_kernel = chain(kernel_chunk)
+    hit_chunks = int(np.ceil(hits / chunk_size))
+    print(f"fused kernel 1 chunk : {t_kernel * 1e3:8.1f} ms "
+          f"(x{hit_chunks} hit-chunks = {t_kernel * hit_chunks * 1e3:.1f} ms)")
+
+
+if __name__ == "__main__":
+    main()
