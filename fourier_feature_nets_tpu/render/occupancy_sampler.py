@@ -118,10 +118,18 @@ class OccupancyGridSampler(RaySampler):
         coarse = grid.reshape(side, factor, side, factor,
                               side, factor).max((1, 3, 5))
         self._probe_resolution = side
-        # (z*side+y, x) layout: probe lookup = one-hot row matmul
-        # followed by a one-hot lane reduction
-        self.probe_table = jnp.asarray(
-            coarse.reshape(side * side, side).astype(np.float32))
+        # 128-lane layout: flat cell id = (z*side + y)*side + x, row =
+        # id // 128, lane = id % 128. A full 128-wide N keeps every MXU
+        # column busy (the previous (z*side+y, x) layout used only
+        # ``side`` lanes — 4x the rows for the same FLOPs, measured
+        # ~3.5x slower at side=32).
+        flat_table = coarse.reshape(-1).astype(np.float32)
+        lanes = 128
+        rows = -(-flat_table.size // lanes)
+        flat_table = np.pad(flat_table, (0, rows * lanes
+                                         - flat_table.size))
+        self._probe_lanes = lanes
+        self.probe_table = jnp.asarray(flat_table.reshape(rows, lanes))
 
     def _occupancy_matmul(self, flat_pts: jnp.ndarray) -> jnp.ndarray:
         """Occupancy via one-hot matmuls on the coarse table.
@@ -132,31 +140,34 @@ class OccupancyGridSampler(RaySampler):
         ~32 MB regardless of call size.
         """
         side = self._probe_resolution
+        lanes = self._probe_lanes
+        num_rows = self.probe_table.shape[0]
         cell = jnp.clip(
             ((flat_pts / self._grid_scale + 1.0) * 0.5 * side)
             .astype(jnp.int32), 0, side - 1)
-        zy = cell[:, 2] * side + cell[:, 1]
-        x = cell[:, 0]
-        num_points = zy.shape[0]
+        flat = (cell[:, 2] * side + cell[:, 1]) * side + cell[:, 0]
+        row = flat // lanes
+        lane = flat % lanes
+        num_points = flat.shape[0]
         block = 16384
         pad = (-num_points) % block
         if pad:
-            zy = jnp.pad(zy, (0, pad))
-            x = jnp.pad(x, (0, pad))
-        iota_zy = jnp.arange(side * side, dtype=jnp.int32)
-        iota_x = jnp.arange(side, dtype=jnp.int32)
+            row = jnp.pad(row, (0, pad))
+            lane = jnp.pad(lane, (0, pad))
+        iota_row = jnp.arange(num_rows, dtype=jnp.int32)
+        iota_lane = jnp.arange(lanes, dtype=jnp.int32)
         table = self.probe_table.astype(jnp.bfloat16)
 
         def probe_block(args):
-            zy_b, x_b = args
-            onehot = (zy_b[:, None] == iota_zy).astype(jnp.bfloat16)
+            row_b, lane_b = args
+            onehot = (row_b[:, None] == iota_row).astype(jnp.bfloat16)
             rows = jax.lax.dot(onehot, table,
                                preferred_element_type=jnp.float32)
-            lane = (x_b[:, None] == iota_x).astype(rows.dtype)
-            return jnp.sum(rows * lane, -1)
+            sel = (lane_b[:, None] == iota_lane).astype(rows.dtype)
+            return jnp.sum(rows * sel, -1)
 
-        occ = jax.lax.map(probe_block, (zy.reshape(-1, block),
-                                        x.reshape(-1, block)))
+        occ = jax.lax.map(probe_block, (row.reshape(-1, block),
+                                        lane.reshape(-1, block)))
         return occ.reshape(-1)[:num_points]
 
     def _occupancy_at(self, points: jnp.ndarray) -> jnp.ndarray:
@@ -189,11 +200,12 @@ class OccupancyGridSampler(RaySampler):
             space, so renderers may skip its model queries entirely.
         """
         idx = jnp.asarray(idx)
-        starts = self.starts[idx]
-        directions = self.directions[idx]
-        near = self.near[idx]
-        far = self.far[idx]
+        return self._probe_cdf_geometry(
+            self.starts[idx], self.directions[idx], self.near[idx],
+            self.far[idx])
 
+    def _probe_cdf_geometry(self, starts, directions, near, far):
+        """:meth:`probe_cdf` on explicit ray geometry (no gathers)."""
         # uniform probe bins over [near, far]
         edges = batch_linspace(near, far, self.num_probes + 1)
         mids = 0.5 * (edges[..., :-1] + edges[..., 1:])
@@ -225,11 +237,19 @@ class OccupancyGridSampler(RaySampler):
                rng: Optional[jax.Array] = None) -> RaySamples:
         """Occupancy-weighted inverse-CDF sampling (pure/jit-safe)."""
         idx = jnp.asarray(idx)
-        edges, cdf, _ = self.probe_cdf(idx)
-        t_values = self.t_from_cdf(edges, cdf, rng)
+        return self._sample_geometry(
+            self.starts[idx], self.directions[idx], self.near[idx],
+            self.far[idx], idx, step, rng)
 
-        starts = self.starts[idx]
-        directions = self.directions[idx]
+    def _sample_geometry(self, starts, directions, near, far, idx,
+                         step, rng):
+        """Occupancy sampling on explicit geometry — the gather-free
+        whole-frame path enters here via
+        :meth:`RaySampler.sample_camera_rays`."""
+        del step  # no annealing on the occupancy path
+        edges, cdf, _ = self._probe_cdf_geometry(starts, directions,
+                                                 near, far)
+        t_values = self.t_from_cdf(edges, cdf, rng)
         positions = (starts[:, None, :]
                      + t_values[..., None] * directions[:, None, :])
         view_directions = jnp.broadcast_to(directions[:, None, :],

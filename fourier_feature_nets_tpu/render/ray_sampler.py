@@ -121,6 +121,20 @@ class RaySampler:
         self.far = jnp.where(nf.valid, nf.far, 2.0)
         self.valid = np.asarray(nf.valid)
 
+        # calibration tables for GATHER-FREE per-camera ray generation
+        # (camera_ray_geometry): direction of pixel (x, y) is linear in
+        # the pixel coordinates, d = M @ [x, y, 1] with M = R @ K^-1
+        # (cameras.py raycast/unproject algebra), so whole-frame paths
+        # can COMPUTE ray geometry instead of gathering per-ray rows —
+        # XLA lowers big dynamic gathers to ~85 ns/row scalar loops
+        # (measured; see CLAUDE.md runtime limits).
+        ray_m = np.stack([
+            camera.extrinsics[:3, :3] @ np.linalg.inv(camera.intrinsics)
+            for camera in cameras])
+        self.cam_ray_m = jnp.asarray(ray_m.astype(np.float32))
+        self.cam_positions = jnp.asarray(np.stack(
+            [camera.position[0] for camera in cameras]).astype(np.float32))
+
         if self.focus_sampling:
             self.num_focus_samples = num_samples - num_samples // 2
             self.cdfs = self._precompute_cdfs()
@@ -214,11 +228,53 @@ class RaySampler:
             bitonic network on TPU (see CLAUDE.md runtime limits).
         """
         idx = jnp.asarray(idx)
-        starts = self.starts[idx]
-        directions = self.directions[idx]
-        near = self.near[idx]
-        far = self.far[idx]
+        return self._sample_geometry(
+            self.starts[idx], self.directions[idx], self.near[idx],
+            self.far[idx], idx, step, rng)
 
+    def camera_ray_geometry(self, camera, offsets):
+        """Ray geometry for pixel ``offsets`` of one camera, COMPUTED
+        from calibration — no per-ray gathers (jit-safe, ``camera``
+        may be a traced scalar).
+
+        Returns:
+            (starts, directions, near, far, valid) arrays of shape
+            (R, 3) / (R,), numerically identical to indexing the
+            precomputed per-ray tables.
+        """
+        m = jax.lax.dynamic_index_in_dim(self.cam_ray_m, camera, 0,
+                                         keepdims=False)
+        p = jax.lax.dynamic_index_in_dim(self.cam_positions, camera, 0,
+                                         keepdims=False)
+        x = (offsets % self.image_width).astype(jnp.float32)
+        y = (offsets // self.image_width).astype(jnp.float32)
+        d = x[:, None] * m[:, 0] + y[:, None] * m[:, 1] + m[:, 2]
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        starts = jnp.broadcast_to(p, d.shape)
+        nf = ray_aabb_near_far(starts, d,
+                               jnp.asarray(self.bounds_min),
+                               jnp.asarray(self.bounds_max))
+        near = jnp.where(nf.valid, nf.near, 1.0)
+        far = jnp.where(nf.valid, nf.far, 2.0)
+        return starts, d, near, far, nf.valid
+
+    def sample_camera_rays(self, camera, offsets, step=None,
+                           rng: Optional[jax.Array] = None):
+        """Like :meth:`sample` for rays of ONE camera, with gather-free
+        computed geometry (whole-frame render path).
+
+        Returns:
+            (RaySamples, valid) — valid marks rays hitting the volume.
+        """
+        starts, directions, near, far, valid = self.camera_ray_geometry(
+            camera, offsets)
+        idx = camera * self.rays_per_camera + offsets
+        return self._sample_geometry(starts, directions, near, far,
+                                     idx, step, rng), valid
+
+    def _sample_geometry(self, starts, directions, near, far, idx,
+                         step, rng):
+        near0, far0 = near, far  # pre-anneal bounds (CDF domain)
         if step is not None and self.num_anneal_steps > 0:
             near, far = anneal_near_far(near, far, step,
                                         self.anneal_start,
@@ -243,7 +299,7 @@ class RaySampler:
 
         if self.focus_sampling:
             focus_t = inverse_cdf_t_values(
-                self.near[idx], self.far[idx], self.cdfs[idx],
+                near0, far0, self.cdfs[idx],
                 self.num_focus_samples, self.num_focus_samples,
                 quantiles=focus_quantiles)
             t_values = merge_sorted(t_values, focus_t)

@@ -230,7 +230,6 @@ class Raycaster:
             # geometry is hundreds of MB.
             arrays = {name: value for name, value in vars(sampler).items()
                       if isinstance(value, jnp.ndarray)}
-            arrays["__valid"] = jnp.asarray(sampler.valid)
 
             if self.fused:
                 from ..ops.fused_nerf import fused_nerf_apply
@@ -255,12 +254,17 @@ class Raycaster:
                     object.__setattr__(traced, name, value)
                 return traced
 
-            def render_chunk(geometry, model_arg, idx_chunk):
-                rays = make_sampler(geometry).sample(idx_chunk)
+            def render_chunk(geometry, model_arg, camera, off_chunk):
+                # gather-free: ray geometry is COMPUTED from the
+                # camera calibration tables (sample_camera_rays) —
+                # per-ray table gathers run at ~85 ns/row on TPU and
+                # dominated the old frame time (round-2 profile)
+                rays, _ = make_sampler(geometry).sample_camera_rays(
+                    camera, off_chunk)
                 flat_pos = rays.positions.reshape(-1, 3)
                 flat_views = rays.view_directions.reshape(-1, 3)
                 color_o = apply_fn(model_arg, flat_pos, flat_views)
-                color_o = color_o.reshape(idx_chunk.shape[0], -1, 4)
+                color_o = color_o.reshape(off_chunk.shape[0], -1, 4)
                 return _composite(color_o, rays.t_values, False).color
 
             if mesh is None:
@@ -274,7 +278,7 @@ class Raycaster:
                 # training step, parallel/data_parallel.py)
                 run_chunk = jax.shard_map(
                     render_chunk, mesh=mesh,
-                    in_specs=(P(), P(), P("data")),
+                    in_specs=(P(), P(), P(), P("data")),
                     out_specs=P("data"), check_vma=False)
 
             def finish(colors, mask):
@@ -285,20 +289,19 @@ class Raycaster:
 
             @jax.jit
             def frame_fn(model_arg, camera, geometry):
-                valid = geometry.pop("__valid")
-
-                base = camera * rays_per_cam
                 offsets = jnp.arange(total, dtype=jnp.int32) % rays_per_cam
-                idx = (base + offsets).reshape(num_chunks, chunk_size)
+                off = offsets.reshape(num_chunks, chunk_size)
 
-                def body(carry, idx_chunk):
+                def body(carry, off_chunk):
                     return carry, run_chunk(geometry, model_arg,
-                                            idx_chunk)
+                                            camera, off_chunk)
 
-                _, colors = jax.lax.scan(body, 0, idx)
+                _, colors = jax.lax.scan(body, 0, off)
                 colors = colors.reshape(total, 3)[:rays_per_cam]
-                mask = valid[base + offsets[:rays_per_cam]]
-                return finish(colors, mask)
+                _, _, _, _, valid = make_sampler(
+                    geometry).camera_ray_geometry(
+                        camera, offsets[:rays_per_cam])
+                return finish(colors, valid)
 
             @jax.jit
             def frame_fn_culled(model_arg, camera, geometry):
@@ -307,15 +310,14 @@ class Raycaster:
                 that contain hits. Rays whose probes saw no occupied
                 cell integrate (conservatively dilated) empty space
                 and render as background without a model query."""
-                valid = geometry.pop("__valid")
                 traced = make_sampler(geometry)
 
-                base = camera * rays_per_cam
                 offsets = jnp.arange(total, dtype=jnp.int32) % rays_per_cam
-                idx_all = base + offsets
-
-                _, _, hit = traced.probe_cdf(idx_all)
-                hit = hit & valid[idx_all]
+                starts, dirs, near, far, valid = \
+                    traced.camera_ray_geometry(camera, offsets)
+                _, _, hit = traced._probe_cdf_geometry(starts, dirs,
+                                                       near, far)
+                hit = hit & valid
                 num_hit = jnp.sum(hit.astype(jnp.int32))
                 # stable partition: hit rays keep their order up front
                 hit_slot = jnp.cumsum(hit.astype(jnp.int32)) - 1
@@ -328,11 +330,13 @@ class Raycaster:
                 def body(carry, k):
                     sl = jax.lax.dynamic_slice(perm, (k * chunk_size,),
                                                (chunk_size,))
-                    idx_chunk = idx_all[sl]
+                    # permuted slots -> pixel offsets: pure arithmetic
+                    # (offsets[sl] would be another 16k-row gather)
+                    off_chunk = sl % rays_per_cam
                     color = jax.lax.cond(
                         k * chunk_size < num_hit,
                         lambda _: run_chunk(geometry, model_arg,
-                                            idx_chunk),
+                                            camera, off_chunk),
                         lambda _: jnp.zeros((chunk_size, 3)),
                         0)
                     return carry, color
@@ -341,8 +345,8 @@ class Raycaster:
                     body, 0, jnp.arange(num_chunks, dtype=jnp.int32))
                 unperm = jnp.zeros((total, 3)).at[perm].set(
                     colors.reshape(total, 3))
-                mask = (hit & valid[idx_all])[:rays_per_cam]
-                return finish(unperm[:rays_per_cam], mask)
+                return finish(unperm[:rays_per_cam],
+                              hit[:rays_per_cam])
 
             if cull:
                 frame_fn = frame_fn_culled

@@ -1,0 +1,675 @@
+"""Generates lecture_notes.ipynb — the interactive companion to the
+reference's lecture notebook (/root/reference/lecture_notes.ipynb, 67
+cells), rebuilt on this framework's functional API and fully runnable
+offline (synthetic data, CPU-friendly budgets).
+
+Usage: python tools/gen_lecture_notebook.py [output.ipynb]
+Set FFN_TPU_NB_FAST=1 before *executing* the notebook to shrink every
+training budget (used by the smoke test).
+"""
+
+import sys
+
+import nbformat as nbf
+
+C = []
+
+
+def md(text):
+    C.append(nbf.v4.new_markdown_cell(text.strip()))
+
+
+def code(text):
+    C.append(nbf.v4.new_code_cell(text.strip()))
+
+
+md("""
+# Fourier Feature Networks and Neural Volume Rendering — on TPU
+
+An interactive companion to [matajoh/fourier_feature_nets](https://github.com/matajoh/fourier_feature_nets),
+rebuilt on `fourier_feature_nets_tpu`: a JAX/Pallas re-design of the
+same ideas for TPU hardware. Every cell below runs offline — datasets
+are generated synthetically, training budgets are CPU-friendly, and
+the same code scales to real TPU meshes unchanged.
+
+Outline:
+1. **Fourier features in 1D** — why MLPs struggle with high frequencies
+2. **Modeling images** — 2D regression and the encoding scale
+3. **Volume rendering** — rays, radiance fields and the rendering equation
+4. **Voxels** — a direct grid representation
+5. **Neural volume rendering** — tiny NeRF in four encodings
+6. **Improving the model** — hierarchical sampling and view dependence
+7. **Octrees and fast rendering**
+8. **Scaling out** — data parallelism over a device mesh
+""")
+
+code("""
+import os
+FAST = bool(os.environ.get("FFN_TPU_NB_FAST"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import matplotlib.pyplot as plt
+
+# pin to CPU when no accelerator is wanted (the framework is
+# platform-agnostic; on a TPU host simply skip this line)
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+import fourier_feature_nets_tpu as ffn
+from fourier_feature_nets_tpu.utils import adam_init, adam_update
+""")
+
+md("""
+## 1. Fourier features in 1D
+
+We start with a simple periodic signal. In the *time domain* it looks
+complicated; in the *frequency domain* it is just a handful of spikes.
+""")
+
+code("""
+def signal(t):
+    return np.cos(2 * np.pi * t) + 0.5 * np.cos(4 * np.pi * t) \\
+        + 0.25 * np.sin(10 * np.pi * t)
+
+t = np.linspace(0, 2, 512, endpoint=False)
+plt.figure(figsize=(8, 2.5))
+plt.plot(t, signal(t))
+plt.title("the signal in the time domain")
+plt.xlabel("t"); plt.show()
+""")
+
+code("""
+Y = np.fft.rfft(signal(t))
+freq = np.fft.rfftfreq(t.size, d=t[1] - t[0])
+plt.figure(figsize=(8, 2.5))
+plt.stem(freq[:20], np.abs(Y)[:20] / t.size)
+plt.title("...and in the frequency domain: three spikes")
+plt.xlabel("frequency (Hz)"); plt.show()
+""")
+
+md("""
+Those few coefficients completely determine the function — the inverse
+transform reconstructs it exactly. Fourier feature networks are built
+on this observation: if we hand an MLP a *basis of sinusoids* instead
+of a raw coordinate, learning a function of that coordinate becomes
+learning (roughly) its Fourier coefficients, which a linear layer can
+do easily.
+""")
+
+code("""
+# reconstruct from only the top 3 frequency components
+top = np.argsort(np.abs(Y))[::-1][:3]
+Y_sparse = np.zeros_like(Y); Y_sparse[top] = Y[top]
+recon = np.fft.irfft(Y_sparse, n=t.size)
+plt.figure(figsize=(8, 2.5))
+plt.plot(t, signal(t), label="signal")
+plt.plot(t, recon, "--", label="3-term reconstruction")
+plt.legend(); plt.show()
+""")
+
+md("""
+### Can a raw MLP learn this?
+
+We sample the signal sparsely (`SignalDataset.create` keeps every
+`sample_rate`-th point for training and the dense grid for
+validation) and fit a plain MLP on the raw scalar `t`.
+""")
+
+code("""
+from fourier_feature_nets_tpu.datasets import SignalDataset
+
+dataset = SignalDataset.create(signal, num_samples=32, sample_rate=8)
+print("train points:", dataset.train_x.shape[0],
+      " val points:", dataset.val_x.shape[0])
+""")
+
+code("""
+def train_signal(model, dataset, num_steps=2000, learning_rate=5e-4):
+    \"\"\"Full-batch Adam fit of a 1-D regression model, one jit.\"\"\"
+    if FAST:
+        num_steps = min(num_steps, 50)
+    params = model.init(jax.random.PRNGKey(0))
+    params["layers"][-1]["bias"] = jnp.mean(dataset.train_y)[None]
+    opt_state = adam_init(params)
+
+    def step(carry, _):
+        params, opt_state = carry
+        def loss_fn(p):
+            pred = model.apply(p, dataset.train_x)
+            return jnp.mean(jnp.square(pred - dataset.train_y))
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt_state = adam_update(grads, opt_state, params,
+                                        learning_rate, weight_decay=1e-3)
+        return (params, opt_state), loss
+
+    (params, _), losses = jax.lax.scan(step, (params, opt_state),
+                                       None, length=num_steps)
+    val_mse = float(jnp.mean(jnp.square(
+        model.apply(params, dataset.val_x) - dataset.val_y)))
+    return params, np.asarray(losses), val_mse
+""")
+
+code("""
+mlp = ffn.MLP(1, 1, num_layers=3, num_channels=64)
+mlp_params, mlp_losses, mlp_mse = train_signal(mlp, dataset)
+print(f"raw MLP val MSE: {mlp_mse:.2e}")
+""")
+
+code("""
+def plot_fit(model, params, dataset, title):
+    x = np.asarray(dataset.val_x); y = np.asarray(dataset.val_y)
+    pred = np.asarray(model.apply(params, dataset.val_x))
+    plt.figure(figsize=(8, 2.5))
+    plt.plot(x, y, label="signal")
+    plt.plot(x, pred, "--", label="model")
+    plt.plot(np.asarray(dataset.train_x), np.asarray(dataset.train_y),
+             "go", ms=4, label="train samples")
+    plt.title(title); plt.legend(); plt.show()
+
+plot_fit(mlp, mlp_params, dataset, "raw MLP: smooth but blind to detail")
+""")
+
+md("""
+The raw MLP finds a smooth interpolation and stops — this is the
+**spectral bias** of coordinate MLPs: low frequencies are learned
+orders of magnitude faster than high ones.
+
+### Fourier features fix it
+
+`BasicFourierMLP` lifts `t` onto the unit circle
+(`[cos 2πt, sin 2πt]`); `PositionalFourierMLP` adds a ladder of
+octaves `2^0 … 2^k`; `GaussianFourierMLP` draws random frequencies
+from a Gaussian. All three are the same `FourierFeatureMLP` with a
+different frequency matrix **B**:
+`γ(x) = [a·cos(2π B x), a·sin(2π B x)]`.
+""")
+
+code("""
+basic = ffn.BasicFourierMLP(1, 1, num_layers=3, num_channels=64)
+basic_params, _, basic_mse = train_signal(basic, dataset)
+
+pos = ffn.PositionalFourierMLP(1, 1, max_log_scale=4.0, num_layers=3,
+                               num_channels=64, embedding_size=32)
+pos_params, _, pos_mse = train_signal(pos, dataset)
+
+gauss = ffn.GaussianFourierMLP(1, 1, sigma=4.0, num_layers=3,
+                               num_channels=64, embedding_size=32)
+gauss_params, _, gauss_mse = train_signal(gauss, dataset)
+
+for name, mse in [("raw MLP", mlp_mse), ("basic", basic_mse),
+                  ("positional", pos_mse), ("gaussian", gauss_mse)]:
+    print(f"{name:>12}: val MSE {mse:.2e}")
+""")
+
+code("""
+plot_fit(pos, pos_params, dataset,
+         "positional encoding: the MLP can now see every octave")
+""")
+
+md("""
+### Looking inside
+
+`SignalDataset.plot` shows the reconstruction next to the top hidden
+basis functions — each ReLU unit carves the input space using the
+sinusoidal features, and the output layer blends them.
+""")
+
+code("""
+fig, (hidden_ax, space_ax) = plt.subplots(1, 2, figsize=(11, 4))
+colors = plt.get_cmap("viridis")(np.linspace(0, 1, 64))[..., :3]
+dataset.plot(space_ax, hidden_ax, pos, pos_params, num_points=64,
+             colors=colors, max_hidden=8)
+plt.show()
+""")
+
+md("""
+### A harder signal
+
+A triangle wave has infinitely many harmonics; try the same four
+models on it (the gap between raw and encoded grows with the signal's
+bandwidth).
+""")
+
+code("""
+def triangle(t):
+    return 2 * np.abs(t / 0.5 - np.floor(t / 0.5 + 0.5)) - 0.5
+
+tri = SignalDataset.create(triangle, num_samples=64, sample_rate=4)
+_, _, tri_mlp = train_signal(ffn.MLP(1, 1, num_channels=64), tri)
+_, _, tri_pos = train_signal(
+    ffn.PositionalFourierMLP(1, 1, 5.0, num_channels=64,
+                             embedding_size=64), tri)
+print(f"triangle wave — raw: {tri_mlp:.2e}  positional: {tri_pos:.2e}")
+""")
+
+md("""
+## 2. Modeling images
+
+An image is just a function from 2D coordinates to color. The same
+spectral story holds: a 2D Fourier transform concentrates most of the
+image's energy in a few low frequencies, and an un-encoded MLP learns
+exactly (and only) those.
+
+No image files are needed — we render one from the synthetic 3D scene
+used throughout these notes.
+""")
+
+code("""
+from fourier_feature_nets_tpu.cameras import Resolution
+from fourier_feature_nets_tpu.datasets.synthetic import (
+    make_scene_volume, render_dataset_images)
+from fourier_feature_nets_tpu.utils.camera_paths import orbit
+
+size = 64 if FAST else 128
+cams = orbit(np.array([0., 1., 0.]), np.array([0., 0., 1.]), 2, 40,
+             Resolution(size, size), 3.0)
+bounds = np.diag([2., 2., 2., 1.]).astype(np.float32)
+volume = make_scene_volume(32 if FAST else 48)
+image = render_dataset_images(volume, cams, bounds, num_samples=128)[0]
+image = image[..., :3].astype(np.float32) * (image[..., 3:] / 255.0)
+image = image.astype(np.uint8)
+plt.imshow(image); plt.axis("off"); plt.title("our test image"); plt.show()
+""")
+
+code("""
+gray = image.mean(-1)
+spectrum = np.fft.fftshift(np.abs(np.fft.fft2(gray)))
+plt.figure(figsize=(8, 3.5))
+plt.subplot(121); plt.imshow(gray, cmap="gray"); plt.axis("off")
+plt.title("space domain")
+plt.subplot(122); plt.imshow(np.log1p(spectrum), cmap="magma")
+plt.axis("off"); plt.title("log magnitude spectrum")
+plt.show()
+""")
+
+md("""
+`PixelDataset` turns an image file into a 2D regression problem: UVs
+span `[0, 2)` (matching the 3D volume range used later), training
+uses every other pixel, validation the full grid — so the model must
+*super-resolve*, not memorize.
+""")
+
+code("""
+import cv2
+from fourier_feature_nets_tpu.datasets import PixelDataset
+
+path = "/tmp/nb_image.png"
+cv2.imwrite(path, cv2.cvtColor(image, cv2.COLOR_RGB2BGR))
+pixels = PixelDataset.create(path, "RGB", size)
+print("train:", pixels.train_uv.shape, " val:", pixels.val_uv.shape)
+""")
+
+code("""
+def train_image(model, dataset, num_steps=1000, learning_rate=1e-3):
+    \"\"\"Full-batch 2-D regression with a sigmoid output.\"\"\"
+    if FAST:
+        num_steps = min(num_steps, 30)
+    params = model.init(jax.random.PRNGKey(0))
+    opt_state = adam_init(params)
+    uv = dataset.train_uv.reshape(-1, 2)
+    target = dataset.train_color.reshape(-1, 3)
+
+    def step(carry, _):
+        params, opt_state = carry
+        def loss_fn(p):
+            out = jax.nn.sigmoid(model.apply(p, uv))
+            return 0.5 * jnp.mean(jnp.square(out - target))
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt_state = adam_update(grads, opt_state, params,
+                                        learning_rate)
+        return (params, opt_state), loss
+
+    (params, _), _ = jax.lax.scan(step, (params, opt_state), None,
+                                  length=num_steps)
+    val = jax.nn.sigmoid(model.apply(params,
+                                     dataset.val_uv.reshape(-1, 2)))
+    return params, float(dataset.psnr(val))
+""")
+
+code("""
+mlp2_params, mlp2_psnr = train_image(
+    ffn.MLP(2, 3, num_channels=128), pixels)
+print(f"raw MLP:  {mlp2_psnr:.1f} dB")
+
+# reference notebook's rule of thumb for the max octave: the finest
+# grating an image of side N can hold has frequency N/2
+max_log_scale = np.log(size / 2 / np.pi) / np.log(2)
+gauss2 = ffn.GaussianFourierMLP(2, 3, sigma=6.05, num_channels=128,
+                                embedding_size=128)
+gauss2_params, gauss2_psnr = train_image(gauss2, pixels)
+print(f"gaussian: {gauss2_psnr:.1f} dB")
+""")
+
+code("""
+val_pred = jax.nn.sigmoid(gauss2.apply(gauss2_params,
+                                       pixels.val_uv.reshape(-1, 2)))
+plt.figure(figsize=(8, 4))
+plt.subplot(121); plt.imshow(image); plt.axis("off"); plt.title("target")
+plt.subplot(122); plt.imshow(pixels.to_image(np.asarray(val_pred)))
+plt.axis("off"); plt.title(f"gaussian FFN ({gauss2_psnr:.1f} dB)")
+plt.show()
+""")
+
+md("""
+`to_act_image` visualizes the final layer: each tile is one hidden
+unit's contribution pushed through the output weights — the learned
+"palette" the network mixes.
+""")
+
+code("""
+act = pixels.to_act_image(gauss2, gauss2_params, 128)
+plt.imshow(act); plt.axis("off")
+plt.title("output-layer basis images"); plt.show()
+""")
+
+md("""
+## 3. Volume rendering
+
+To move from images to 3D we need a *radiance field*: a function from
+position (and later, view direction) to color + opacity, and a way to
+turn it into pixels — **volume raycasting**.
+
+`generate_synthetic_dataset` writes a complete posed-image dataset in
+the reference NPZ schema (images, intrinsics, extrinsics, bounds,
+splits); `ImageDataset.load` consumes it unchanged.
+""")
+
+code("""
+from fourier_feature_nets_tpu.datasets.synthetic import (
+    generate_synthetic_dataset)
+
+res = 32 if FAST else 64
+scene_path = "/tmp/nb_scene.npz"
+generate_synthetic_dataset(scene_path, resolution=res,
+                           split_counts=(8, 2, 2),
+                           volume_side=32, num_samples=128)
+train_data = ffn.ImageDataset.load(scene_path, "train", num_samples=64,
+                                   include_alpha=True, stratified=True)
+val_data = ffn.ImageDataset.load(scene_path, "val", num_samples=64,
+                                 include_alpha=True, stratified=False)
+print(train_data.num_cameras, "train cameras,",
+      len(train_data), "rays")
+""")
+
+code("""
+fig, axes = plt.subplots(1, 4, figsize=(12, 3))
+for ax, i in zip(axes, range(4)):
+    ax.imshow(train_data.images[i][..., :3]); ax.axis("off")
+plt.suptitle("four training views"); plt.show()
+""")
+
+md("""
+### The rendering equation
+
+Each pixel's ray is sampled at `num_samples` points; the model
+predicts opacity σ and color at each; `calculate_blend_weights` turns
+σ into compositing weights via transmittance
+`T_i = Π_{j<i} (1 - α_j)`, `w_i = α_i · T_i`. A ray passing through
+two surfaces shows the first absorbing most of the light:
+""")
+
+code("""
+from fourier_feature_nets_tpu.ops import calculate_blend_weights
+
+t_vals = np.linspace(1.0, 3.0, 128, dtype=np.float32)
+sigma = 9 * np.exp(-0.5 * ((t_vals - 1.7) / 0.05) ** 2)
+sigma += 12 * np.exp(-0.5 * ((t_vals - 2.4) / 0.05) ** 2)
+weights = np.asarray(calculate_blend_weights(
+    jnp.asarray(t_vals[None]), jnp.asarray(sigma[None])))[0]
+trans = np.concatenate([[1.0], 1 - np.cumsum(weights)[:-1]])
+plt.figure(figsize=(8, 3))
+plt.plot(t_vals, sigma / sigma.max(), label="opacity (scaled)")
+plt.plot(t_vals, trans, label="transmittance")
+plt.plot(t_vals, weights / weights.max(), label="blend weight (scaled)")
+plt.xlabel("t along the ray"); plt.legend(); plt.show()
+""")
+
+md("""
+The animated versions of this and the other geometry figures are in
+`fourier_feature_nets_tpu.lecture`:
+`save_all_animations(out_dir)` renders camera-to-world,
+world-to-camera, ray/cube intersection, the rendering equation and a
+full volume-raycast orbit; `voxels_animation` and
+`view_angle_animation` (below) take a model.
+
+## 4. Voxels
+
+The most direct radiance field is a dense grid storing RGBσ in every
+cell, read back with trilinear interpolation (`ffn.Voxels`). Fitting
+it is a standard `Raycaster.fit` run — the whole train step (ray
+sampling, trilinear gather, compositing, loss, Adam) is one jit.
+""")
+
+code("""
+voxels = ffn.Voxels(side=64, scale=2.0)
+vox_params = voxels.init(jax.random.PRNGKey(0))
+caster = ffn.Raycaster(voxels)
+vox_params, vox_log = caster.fit(
+    vox_params, train_data, val_data, batch_size=1024,
+    learning_rate=0.01, num_steps=20 if FAST else 500, crop_steps=0,
+    report_interval=10 if FAST else 100, decay_rate=0.9,
+    decay_steps=25000)
+""")
+
+code("""
+render = caster.render_image(vox_params, val_data.sampler, 0,
+                             batch_size=4096)
+plt.figure(figsize=(7, 3.5))
+plt.subplot(121); plt.imshow(val_data.images[0][..., :3])
+plt.axis("off"); plt.title("ground truth")
+plt.subplot(122); plt.imshow(render); plt.axis("off")
+plt.title("voxel render"); plt.show()
+""")
+
+md("""
+Dense grids are gather-bound on TPU; `ffn.FactorizedVoxels` (a
+TensoRF-style vector-matrix factorization) replaces the gather with
+three small matmuls and trains ~9x faster at equal-or-better quality
+— pass `--factorized-rank` to `train_voxels.py`.
+
+## 5. Neural volume rendering — tiny NeRF
+
+Replace the grid with an MLP from position to RGBσ. The four 1D/2D
+encodings return, now in 3D, with the same ranking: raw < basic <
+positional ≈ gaussian. (Budgets here are demonstration-sized; the
+`train_tiny_nerf.py` CLI runs the full configuration.)
+""")
+
+code("""
+def fit_tiny(model, num_steps=300):
+    p = model.init(jax.random.PRNGKey(0))
+    rc = ffn.Raycaster(model)
+    p, log = rc.fit(p, train_data, val_data, batch_size=1024,
+                    learning_rate=5e-4,
+                    num_steps=20 if FAST else num_steps,
+                    crop_steps=0, report_interval=10 if FAST else 100,
+                    decay_rate=0.1, decay_steps=25000)
+    return rc, p, log[-1].val_psnr if log else float("nan")
+
+tiny = ffn.PositionalFourierMLP(3, 4, max_log_scale=5.5,
+                                num_channels=128, embedding_size=96)
+tiny_caster, tiny_params, tiny_psnr = fit_tiny(tiny)
+print(f"tiny NeRF (positional): {tiny_psnr:.1f} dB val")
+""")
+
+code("""
+render = tiny_caster.render_image(tiny_params, val_data.sampler, 1,
+                                  batch_size=4096)
+plt.figure(figsize=(7, 3.5))
+plt.subplot(121); plt.imshow(val_data.images[1][..., :3])
+plt.axis("off"); plt.title("ground truth")
+plt.subplot(122); plt.imshow(render); plt.axis("off")
+plt.title("tiny NeRF"); plt.show()
+""")
+
+md("""
+## 6. Improving the model
+
+### Hierarchical sampling
+
+Uniform samples waste capacity on empty space. The trained *voxel*
+model can act as an **opacity model**: its density along each ray
+builds a CDF, and half the samples are drawn where matter actually is
+(inverse-CDF "focus" sampling). The sampler merges the uniform and
+focus halves with a sort-free two-sequence merge (per-ray `sort` is
+pathologically slow on TPU).
+""")
+
+code("""
+focus_train = ffn.ImageDataset.load(
+    scene_path, "train", num_samples=64, include_alpha=True,
+    stratified=True, opacity_model=voxels,
+    opacity_params=vox_params)
+print("focus sampling on:", focus_train.sampler.focus_sampling)
+""")
+
+md("""
+### View dependence — the full NeRF
+
+`ffn.NeRF` is the flagship model: positional encoding at up to 2^9
+(so the encode matmul must run at HIGHEST precision on TPU — the
+default bf16-like matmul downcast would alias the octaves), a skip
+re-concat mid-network, a view-independent opacity head, and a color
+head conditioned on the encoded view direction. `train_nerf.py` wires
+it to hierarchical sampling by default.
+""")
+
+code("""
+nerf = ffn.NeRF(num_layers=4, num_channels=128, max_log_scale_pos=9.0,
+                num_freq_pos=10, max_log_scale_view=3.0, num_freq_view=4,
+                skips=[2], include_inputs=True)
+nerf_params = nerf.init(jax.random.PRNGKey(0))
+nerf_caster = ffn.Raycaster(nerf)
+nerf_params, nerf_log = nerf_caster.fit(
+    nerf_params, focus_train, val_data, batch_size=1024,
+    learning_rate=5e-4, num_steps=20 if FAST else 300, crop_steps=0,
+    report_interval=10 if FAST else 100, decay_rate=0.1,
+    decay_steps=250000)
+""")
+
+md("""
+On TPU the NeRF forward/backward runs as a hand-written **Pallas
+kernel** (`ops/fused_nerf.py`): encode, all MLP layers and the volume
+integral fused in VMEM, ~2x over XLA's fusion on the inference path
+and 1.8x on training (`Raycaster(model, fused=True)`,
+`fit(..., fused_train=True)` — TPU only).
+
+### View-angle intuition
+
+Why condition color on the view direction? Because real surfaces are
+not Lambertian — the same 3D point changes appearance as the camera
+moves. `view_angle_animation` lifts one pixel to 3D with the model's
+depth and shows the patch it reprojects to in every nearby camera:
+""")
+
+code("""
+from fourier_feature_nets_tpu.lecture import view_angle_animation
+
+count = view_angle_animation(val_data, nerf_caster, nerf_params,
+                             "/tmp/nb_anim", camera=0,
+                             angle_threshold=0.3, patch_size=8,
+                             zoom_size=16)
+frame = cv2.imread("/tmp/nb_anim/view_angle/frame_0000.png")
+plt.imshow(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)); plt.axis("off")
+plt.title(f"one of {count} reprojection frames"); plt.show()
+""")
+
+md("""
+## 7. Octrees and fast rendering
+
+For real-time playback the trained field is baked into a sparse
+**octree** (`voxelize_model.py`): leaves store RGBσ, empty space is
+pruned away. The octree kernels are C++ (via ctypes) with NumPy and
+jitted-JAX fallbacks; `OcTree.prune` collapses one level — the
+`voxels_animation` sweeps coarse→fine:
+""")
+
+code("""
+from fourier_feature_nets_tpu.octree import OcTree
+from fourier_feature_nets_tpu.lecture import voxels_animation
+
+# sample the trained voxel model on a point cloud and build the tree
+rng = np.random.default_rng(0)
+pts = rng.uniform(-1.2, 1.2, (4096, 3)).astype(np.float32)
+rgbo = np.asarray(voxels.apply(vox_params, jnp.asarray(pts)))
+keep = np.argsort(rgbo[:, 3])[::-1][:1024]  # densest 1024 points
+colors = 1 / (1 + np.exp(-rgbo[keep, :3]))
+data = np.concatenate([colors, np.ones_like(colors[:, :1])], -1)
+tree = OcTree.build_from_samples(pts[keep], depth=5, min_leaf_size=1,
+                                 data=data.astype(np.float32))
+print(f"octree: depth {tree.depth}, {tree.num_leaves} leaves")
+voxels_animation(tree, "/tmp/nb_anim", min_depth=3, num_frames=3)
+frame = cv2.imread("/tmp/nb_anim/voxels/frame_0002.png")
+plt.imshow(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)); plt.axis("off")
+plt.show()
+""")
+
+md("""
+The production render path goes further: `Raycaster.render_frame`
+renders a whole frame in ONE jitted scan (sampling + fused MLP +
+compositing + uint8 conversion on device), with empty-space culling
+driven by a rasterized occupancy grid, and
+`render_frame_async` overlaps the host fetch with the next frame —
+that is what `orbit_video.py` uses.
+""")
+
+code("""
+frame = np.asarray(nerf_caster.render_frame(
+    nerf_params, val_data.sampler, 0, chunk_size=res * res // 4))
+plt.imshow(frame); plt.axis("off")
+plt.title("render_frame: one dispatch per frame"); plt.show()
+""")
+
+md("""
+## 8. Scaling out — data parallelism
+
+Rays are embarrassingly parallel, so the framework shards the batch
+over a 1-D `jax.sharding.Mesh` ("data" axis): parameters replicate,
+XLA inserts the gradient all-reduce (GSPMD path), or an explicit
+`shard_map` + `pmean` path does the same with hand-placed collectives
+— the two are cross-checked bit-for-bit in the test suite. The cell
+below runs on 8 *virtual* CPU devices; on a real TPU pod slice the
+same code uses the ICI mesh.
+
+```python
+# run with XLA_FLAGS=--xla_force_host_platform_device_count=8
+from fourier_feature_nets_tpu.parallel import (
+    make_mesh, make_shard_map_train_step, replicate, shard_rays)
+
+mesh = make_mesh(jax.devices("cpu")[:8])
+step = make_shard_map_train_step(nerf_caster, focus_train,
+                                 batch_size=1024, learning_rate=5e-4,
+                                 decay_rate=0.1, decay_steps=250000,
+                                 weight_decay=0.0, mesh=mesh)
+```
+
+`docs/SCALING.md` covers multi-host launch, and `bench.py` holds the
+single-chip numbers: the fused render beats the reference's
+real-time north star with an 800×800 orbit at >20 FPS on a v5e-8.
+
+That's the full tour: 1D signals → 2D images → voxel and neural
+radiance fields → octree-accelerated rendering → multi-chip scaling,
+all in one TPU-native framework. The CLI scripts
+(`train_signal_regression.py`, `train_image_regression.py`,
+`train_voxels.py`, `train_tiny_nerf.py`, `train_nerf.py`,
+`voxelize_model.py`, `orbit_video.py`) run each chapter at full
+scale.
+""")
+
+
+def main():
+    out = sys.argv[1] if len(sys.argv) > 1 else "lecture_notes.ipynb"
+    nb = nbf.v4.new_notebook()
+    nb.metadata["kernelspec"] = {"name": "python3",
+                                 "display_name": "Python 3",
+                                 "language": "python"}
+    nb.cells = C
+    with open(out, "w") as f:
+        nbf.write(nb, f)
+    print(f"wrote {out}: {len(C)} cells "
+          f"({sum(1 for c in C if c.cell_type == 'code')} code)")
+
+
+if __name__ == "__main__":
+    main()

@@ -55,7 +55,7 @@ def main():
                                    bounds=bounds)
     caster = Raycaster(model, compute_dtype=jnp.bfloat16, fused=True)
 
-    chunk_size = 16384
+    chunk_size = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     rays_per_cam = sampler.rays_per_camera
     num_chunks = -(-rays_per_cam // chunk_size)
     total = num_chunks * chunk_size
