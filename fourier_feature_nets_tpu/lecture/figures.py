@@ -15,7 +15,8 @@ from ..ops.encoding import (
 )
 
 __all__ = ["signal_spectrum_figure", "encoding_matrix_figure",
-           "spectral_bias_figure", "save_all_figures"]
+           "spectral_bias_figure", "fourier1d_figure",
+           "fourier2d_figure", "save_all_figures"]
 
 
 def _agg_plt():
@@ -124,6 +125,140 @@ def spectral_bias_figure(num_steps=600, num_channels=64):
     return fig
 
 
+def fourier1d_figure(signal_fn=None, num_samples=64, num_freqs=4,
+                     tsv_path=None):
+    """Top Fourier basis functions + progressive reconstructions of a
+    1-D signal (figures/fourier1d.py equivalent; optional TSV export
+    in the reference's column layout).
+
+    Args:
+        signal_fn: callable t -> y over [0, 2); defaults to the
+            reference's multifreq signal.
+        num_samples: FFT size.
+        num_freqs: how many dominant frequencies to plot/accumulate.
+        tsv_path: when set, also writes the reference's
+            ``fourier_plots.tsv`` table (t, f(t), basis_i..., recon_i...).
+    """
+    plt = _agg_plt()
+    if signal_fn is None:
+        def signal_fn(t):
+            return (2 + np.sin(t * np.pi) + 0.5 * np.sin(2 * t * np.pi)
+                    - 0.2 * np.cos(5 * t * np.pi))
+
+    t = np.linspace(0, 2, num_samples)
+    y = signal_fn(t)
+    y_freq = np.fft.fft(y)
+    order = np.argsort(np.abs(y_freq[:num_samples // 2]))[::-1]
+
+    basis, recon = [], []
+    subset_acc = np.zeros_like(y_freq)
+    for i in range(num_freqs):
+        f = order[i]
+        single = np.zeros_like(y_freq)
+        single[f] = y_freq[f]
+        single[-f] = y_freq[-f]
+        basis.append(np.fft.ifft(single).real)
+        subset_acc[f] = y_freq[f]
+        subset_acc[-f] = y_freq[-f]
+        recon.append(np.fft.ifft(subset_acc).real)
+
+    if tsv_path:
+        with open(tsv_path, "w") as file:
+            file.write("\t".join(
+                ["t", "f(t)"]
+                + [f"basis{i}" for i in range(num_freqs)]
+                + [f"recon{i}" for i in range(num_freqs)]) + "\n")
+            for k in range(num_samples):
+                vals = [t[k], y[k]] + [b[k] for b in basis] \
+                    + [r[k] for r in recon]
+                file.write("\t".join(str(v) for v in vals) + "\n")
+
+    fig, (ax0, ax1) = plt.subplots(1, 2, figsize=(11, 4))
+    ax0.plot(t, y, "k-", linewidth=2, label="signal")
+    for i, b in enumerate(basis):
+        ax0.plot(t, b, "--", label=f"basis {i}")
+    ax0.set_title("dominant Fourier basis functions")
+    ax0.legend(fontsize=8)
+    ax1.plot(t, y, "k-", linewidth=2, label="signal")
+    for i, r in enumerate(recon):
+        ax1.plot(t, r, "--", label=f"top-{i + 1} recon")
+    ax1.set_title("progressive reconstruction")
+    ax1.legend(fontsize=8)
+    fig.tight_layout()
+    return fig
+
+
+def fourier2d_figure(image=None, size=64, num_gratings=3):
+    """2-D spectrum + individual sinusoidal gratings of an image
+    (figures/fourier2d.py equivalent).
+
+    Args:
+        image: (H, W) grayscale float array; defaults to a rendered
+            view of the synthetic scene (no image files needed).
+        size: image side when rendering the default image.
+        num_gratings: dominant non-DC gratings to visualize.
+    """
+    plt = _agg_plt()
+    if image is None:
+        from ..cameras import Resolution
+        from ..datasets.synthetic import (
+            make_scene_volume,
+            render_dataset_images,
+        )
+        from ..utils.camera_paths import orbit
+
+        cams = orbit(np.array([0.0, 1.0, 0.0]),
+                     np.array([0.0, 0.0, 1.0]), 2, 40.0,
+                     Resolution(size, size), 3.0)
+        bounds = np.diag([2.0, 2.0, 2.0, 1.0]).astype(np.float32)
+        volume = make_scene_volume(32)
+        rgba = render_dataset_images(volume, cams, bounds,
+                                     num_samples=64)[0]
+        image = (rgba[..., :3].astype(np.float32)
+                 * (rgba[..., 3:] / 255.0)).mean(-1) / 255.0
+
+    freq = np.fft.fftshift(np.fft.fft2(np.fft.ifftshift(image)))
+    mag = np.abs(freq)
+    center = np.array(mag.shape) // 2
+    flat = mag.copy()
+    flat[center[0], center[1]] = 0  # drop DC for grating selection
+    order = np.argsort(flat.reshape(-1))[::-1]
+
+    fig, axes = plt.subplots(1, 2 + num_gratings,
+                             figsize=(3 * (2 + num_gratings), 3.2))
+    axes[0].imshow(image, cmap="gray")
+    axes[0].set_title("image")
+    axes[1].imshow(np.log1p(mag), cmap="magma")
+    axes[1].set_title("log spectrum")
+    shown = 0
+    used = set()
+    for pos in order:
+        if shown >= num_gratings:
+            break
+        r, c = divmod(int(pos), mag.shape[1])
+        # conjugate pairs produce the same grating; show each once
+        if (r, c) in used:
+            continue
+        used.add((r, c))
+        used.add(((2 * center[0] - r) % mag.shape[0],
+                  (2 * center[1] - c) % mag.shape[1]))
+        single = np.zeros_like(freq)
+        single[r, c] = freq[r, c]
+        rr = (2 * center[0] - r) % mag.shape[0]
+        cc = (2 * center[1] - c) % mag.shape[1]
+        single[rr, cc] = freq[rr, cc]
+        grating = np.fft.fftshift(
+            np.fft.ifft2(np.fft.ifftshift(single))).real
+        axes[2 + shown].imshow(grating, cmap="gray")
+        axes[2 + shown].set_title(
+            f"grating ({r - center[0]}, {c - center[1]})")
+        shown += 1
+    for ax in axes:
+        ax.set_axis_off()
+    fig.tight_layout()
+    return fig
+
+
 def save_all_figures(output_dir: str):
     """Renders every lecture figure to PNG."""
     import os
@@ -138,6 +273,9 @@ def save_all_figures(output_dir: str):
             sawtooth, label="sawtooth"),
         "encoding_matrices.png": encoding_matrix_figure,
         "spectral_bias.png": spectral_bias_figure,
+        "fourier1d.png": lambda: fourier1d_figure(
+            tsv_path=os.path.join(output_dir, "fourier_plots.tsv")),
+        "fourier2d.png": fourier2d_figure,
     }
     for name, make in figures.items():
         fig = make()
