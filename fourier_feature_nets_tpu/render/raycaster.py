@@ -779,23 +779,28 @@ class Raycaster:
                     params, opt_state, perm,
                     jnp.asarray(batch_num * batch_size, jnp.int32),
                     jnp.asarray(step, jnp.int32), strat_key)
-                prev_step = step
-                step = step + chunk - 1  # last executed step
+                # this call executed steps [first, last]; everything
+                # below (reports, checkpoints, visualizers) anchors on
+                # `last` and `step` is only ever last + 1
+                first, last = step, step + chunk - 1
+                step = last + 1
 
                 if chunk == 1:
-                    report_due = (step < 10
-                                  or step % report_interval == 0)
+                    report_due = (last < 10
+                                  or last % report_interval == 0)
                 else:
-                    report_due = (step // report_interval
-                                  > (prev_step - 1) // report_interval)
+                    # a report is due iff [first, last] covers a
+                    # multiple of report_interval
+                    report_due = (last // report_interval
+                                  > (first - 1) // report_interval)
 
                 if report_due:
-                    train_psnr = validate(trainval_dataset, step)
-                    val_psnr = validate(val_dataset, step)
+                    train_psnr = validate(trainval_dataset, last)
+                    val_psnr = validate(val_dataset, last)
                     current_time = time.time()
-                    time_per_step = ((current_time - start_time) / step
-                                     if step >= report_interval else 0)
-                    print("{:07}".format(step),
+                    time_per_step = ((current_time - start_time) / last
+                                     if last >= report_interval else 0)
+                    print("{:07}".format(last),
                           "{:2f} s/step".format(time_per_step),
                           "psnr_train: {:2f}".format(train_psnr),
                           "val_psnr: {:2f}".format(val_psnr))
@@ -804,33 +809,35 @@ class Raycaster:
                         metric_logger("psnr_val", val_psnr)
                         metric_logger("time_per_step", time_per_step)
 
-                    if chunk > 1 or step % report_interval == 0:
+                    if chunk > 1 or last % report_interval == 0:
                         state = jax.tree.map(np.asarray, params)
-                        log.append(LogEntry(step,
+                        log.append(LogEntry(last,
                                             current_time - start_time,
                                             state, train_psnr, val_psnr))
 
                     if (train_dataset.mode == Mode.Center
-                            and step >= crop_steps):
+                            and last >= crop_steps):
                         print("Removing center crop...")
                         train_dataset.mode = dataset_mode
                         val_dataset.mode = dataset_mode
                         trainval_dataset.mode = dataset_mode
-                        step += 1
                         restart_epoch = True
 
-                if (checkpointer is not None and step > start_step
-                        and (step % checkpoint_interval) < chunk):
+                # due iff [first, last] covers a multiple of
+                # checkpoint_interval — independent of the crop
+                # transition above, and labeled with the last step
+                # that actually executed (resume restarts at last + 1)
+                if (checkpointer is not None and last > start_step
+                        and (last % checkpoint_interval) < chunk):
                     # device-side snapshot + background write: the
                     # step loop never blocks on the host fetch
                     checkpointer.save(self.model, params, opt_state,
-                                      step, seed)
+                                      last, seed)
 
                 if not restart_epoch:
                     for visualizer in visualizers:
-                        visualizer.visualize(step, render_image_fn,
+                        visualizer.visualize(last, render_image_fn,
                                              render_act_fn)
-                    step += 1
 
         if checkpointer is not None:
             checkpointer.close()
