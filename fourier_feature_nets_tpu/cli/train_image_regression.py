@@ -76,6 +76,18 @@ def main(argv=None):
     os.makedirs(args.results_dir, exist_ok=True)
 
     print("Creating dataset...")
+    if args.image_path.split(":")[0] == "synthetic":
+        # air-gapped stand-in for the reference's packaged photos:
+        # 'synthetic[:<size>]' generates (and caches) a procedural
+        # multi-frequency test image
+        from ..datasets.synthetic import generate_synthetic_image
+        from ..utils.assets import default_data_dir
+        parts = args.image_path.split(":")
+        size = int(parts[1]) if len(parts) > 1 else args.image_size
+        args.image_path = os.path.join(default_data_dir(),
+                                       f"synthetic_image_{size}.png")
+        if not os.path.exists(args.image_path):
+            generate_synthetic_image(args.image_path, size)
     data_dir = os.path.join(os.path.dirname(__file__), "..", "..", "data")
     dataset = PixelDataset.create(args.image_path, args.color_space,
                                   args.image_size,

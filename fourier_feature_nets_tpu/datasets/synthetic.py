@@ -33,7 +33,8 @@ from ..ops import (
 from ..utils.camera_paths import hemisphere
 
 __all__ = ["make_scene_volume", "render_dataset_images",
-           "generate_synthetic_dataset", "load_or_generate"]
+           "generate_synthetic_dataset", "load_or_generate",
+           "generate_synthetic_image"]
 
 
 def make_scene_volume(side: int = 64) -> np.ndarray:
@@ -167,4 +168,43 @@ def load_or_generate(path: str, **kwargs) -> str:
     """Returns ``path``, generating the synthetic dataset on first use."""
     if not os.path.exists(path):
         generate_synthetic_dataset(path, **kwargs)
+    return path
+
+
+def generate_synthetic_image(path: str, size: int = 512,
+                             seed: int = 20080524) -> str:
+    """Writes a procedural test image for 2-D image regression.
+
+    Air-gapped stand-in for the reference's packaged photos
+    (/root/reference/data/cat.jpg etc., README.md:119-128): a
+    composition with energy at several spatial frequencies — smooth
+    color gradients, mid-frequency radial rings, a high-frequency
+    diagonal checker patch and soft blobs — so the four FFN variants
+    separate the same way they do on natural images (MLP blurs,
+    positional/gaussian recover detail).
+    """
+    import cv2
+
+    coords = np.linspace(-1.0, 1.0, size, dtype=np.float32)
+    y, x = np.meshgrid(coords, coords, indexing="ij")
+    r = np.sqrt(x * x + y * y)
+
+    rng = np.random.default_rng(seed)
+    red = 0.5 + 0.5 * np.sin(3.0 * x + 9.0 * r)
+    green = 0.5 + 0.5 * np.cos(14.0 * r + 2.0 * y)
+    blue = 0.4 + 0.6 * (0.5 + 0.5 * np.sin(40.0 * (x + y)
+                                           ) * (r < 0.6))
+    for _ in range(6):
+        cx, cy = rng.uniform(-0.8, 0.8, 2)
+        radius = rng.uniform(0.05, 0.25)
+        blob = np.exp(-((x - cx) ** 2 + (y - cy) ** 2)
+                      / (2 * radius ** 2))
+        channel = rng.integers(0, 3)
+        [red, green, blue][channel][:] = np.clip(
+            [red, green, blue][channel] + 0.6 * blob, 0.0, 1.0)
+
+    rgb = np.stack([red, green, blue], -1)
+    bgr = (np.clip(rgb, 0.0, 1.0)[..., ::-1] * 255).astype(np.uint8)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    cv2.imwrite(path, bgr)
     return path

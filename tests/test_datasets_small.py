@@ -114,6 +114,39 @@ class TestSignalDataset:
         assert lo < 0.0 < hi and hi > val_x[-1]
 
 
+class TestSyntheticImage:
+    def test_generate_and_load(self, tmp_path):
+        """The procedural image round-trips through PixelDataset and
+        carries multi-frequency content (non-trivial spectrum)."""
+        from fourier_feature_nets_tpu.datasets.synthetic import (
+            generate_synthetic_image,
+        )
+        path = str(tmp_path / "synthetic.png")
+        out = generate_synthetic_image(path, size=64)
+        assert out == path and os.path.exists(path)
+
+        ds = PixelDataset.create(path, "RGB", 64)
+        assert ds is not None
+        img = np.asarray(ds.val_color)
+        assert img.shape == (64, 64, 3)
+        assert img.min() >= 0.0 and img.max() <= 1.0
+        # spectral content beyond DC + lowest band in every channel
+        spec = np.abs(np.fft.fft2(img, axes=(0, 1)))
+        high = spec[8:32, 8:32].sum(axis=(0, 1))
+        assert (high > 1.0).all(), high
+
+    def test_deterministic(self, tmp_path):
+        from fourier_feature_nets_tpu.datasets.synthetic import (
+            generate_synthetic_image,
+        )
+        import cv2
+        a = str(tmp_path / "a.png")
+        b = str(tmp_path / "b.png")
+        generate_synthetic_image(a, size=32)
+        generate_synthetic_image(b, size=32)
+        np.testing.assert_array_equal(cv2.imread(a), cv2.imread(b))
+
+
 class TestLoadModelAssets:
     def test_unknown_path_raises(self, tmp_path):
         with pytest.raises(FileNotFoundError):
