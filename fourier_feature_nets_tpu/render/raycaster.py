@@ -519,6 +519,40 @@ class Raycaster:
         logits = logits[:num].reshape(num_rays, num_samples, 4)
         return _composite(logits, rays.t_values, False)
 
+    @staticmethod
+    def _device_arrays(obj) -> dict:
+        """The object's device-resident arrays, as a dict."""
+        return {name: value for name, value in vars(obj).items()
+                if isinstance(value, jnp.ndarray)}
+
+    def _train_data(self, dataset: RayDataset) -> dict:
+        """Device arrays of a dataset + its sampler, as a jit-argument
+        pytree.
+
+        Per-ray tables (starts/directions/colors/CDFs/...) closed over
+        by a jitted step are embedded as CONSTANTS in the compile
+        payload; at 800px scale that is hundreds of MB and the remote
+        TPU runtime rejects the compile (HTTP 413 — see CLAUDE.md).
+        Passing them as arguments keeps the payload model-sized. Same
+        pattern as :meth:`_frame_fn`'s geometry dict.
+        """
+        return {"sampler": self._device_arrays(dataset.sampler),
+                "dataset": self._device_arrays(dataset)}
+
+    @staticmethod
+    def _bind_data(dataset: RayDataset, data: dict):
+        """Shallow copies of (sampler, dataset) with their device
+        arrays replaced by the traced ``data`` pytree leaves."""
+        import copy
+        sampler = copy.copy(dataset.sampler)
+        for name, value in data["sampler"].items():
+            object.__setattr__(sampler, name, value)
+        bound = copy.copy(dataset)
+        for name, value in data["dataset"].items():
+            object.__setattr__(bound, name, value)
+        object.__setattr__(bound, "sampler", sampler)
+        return sampler, bound
+
     def _make_train_step(self, dataset: RayDataset, batch_size: int,
                          learning_rate: float, decay_rate: float,
                          decay_steps: int, weight_decay: float,
@@ -535,12 +569,13 @@ class Raycaster:
         sampler = dataset.sampler
         stratified = sampler.stratified
 
-        def local_loss_and_grads(params, idx, step, rng, forward):
+        def local_loss_and_grads(params, idx, step, rng, data, forward):
+            sampler_t, dataset_t = self._bind_data(dataset, data)
             step_rng = jax.random.fold_in(rng, step) if stratified else None
-            rays = sampler.sample(idx, step, step_rng)
+            rays = sampler_t.sample(idx, step, step_rng)
 
             def loss_fn(p):
-                return dataset.loss(idx, forward(p, rays))
+                return dataset_t.loss(idx, forward(p, rays))
 
             return jax.value_and_grad(loss_fn)(params)
 
@@ -554,11 +589,11 @@ class Raycaster:
             from functools import partial
 
             @partial(jax.shard_map, mesh=mesh,
-                     in_specs=(P(), P("data"), P(), P()),
+                     in_specs=(P(), P("data"), P(), P(), P()),
                      out_specs=(P(), P()), check_vma=False)
-            def loss_and_grads(params, idx, step, rng):
+            def loss_and_grads(params, idx, step, rng, data):
                 loss, grads = local_loss_and_grads(
-                    params, idx, step, rng, self._train_forward)
+                    params, idx, step, rng, data, self._train_forward)
                 loss = jax.lax.pmean(loss, "data")
                 grads = jax.tree.map(
                     lambda g: jax.lax.pmean(g, "data"), grads)
@@ -567,20 +602,20 @@ class Raycaster:
             # XLA autodiff path: a sharding constraint on the ray
             # index batch is enough — GSPMD shards the whole step and
             # inserts the gradient all-reduce
-            def loss_and_grads(params, idx, step, rng):
+            def loss_and_grads(params, idx, step, rng, data):
                 idx = jax.lax.with_sharding_constraint(
                     idx, NamedSharding(mesh, P("data")))
                 return local_loss_and_grads(
-                    params, idx, step, rng,
+                    params, idx, step, rng, data,
                     lambda p, r: self.render(p, r, False))
         else:
-            def loss_and_grads(params, idx, step, rng):
+            def loss_and_grads(params, idx, step, rng, data):
                 return local_loss_and_grads(params, idx, step, rng,
-                                            self._train_forward)
+                                            data, self._train_forward)
 
-        def one_step(params, opt_state, perm, offset, step, rng):
+        def one_step(params, opt_state, perm, offset, step, rng, data):
             idx = jax.lax.dynamic_slice(perm, (offset,), (batch_size,))
-            loss, grads = loss_and_grads(params, idx, step, rng)
+            loss, grads = loss_and_grads(params, idx, step, rng, data)
             lr = exponential_lr(learning_rate, step, decay_rate,
                                 decay_steps)
             params, opt_state = adam_update(
@@ -588,17 +623,15 @@ class Raycaster:
                 clip_value=0.1, clip_norm=0.1)
             return params, opt_state, loss
 
-        if steps_per_call <= 1:
-            return jax.jit(one_step, donate_argnums=(0, 1))
-
-        def multi_step(params, opt_state, perm, offset, step, rng):
+        def multi_step(params, opt_state, perm, offset, step, rng, data):
             modulo = max(perm.shape[0] - batch_size + 1, 1)
 
             def body(carry, k):
                 params, opt_state = carry
                 k_offset = (offset + k * batch_size) % modulo
                 params, opt_state, loss = one_step(
-                    params, opt_state, perm, k_offset, step + k, rng)
+                    params, opt_state, perm, k_offset, step + k, rng,
+                    data)
                 return (params, opt_state), loss
 
             (params, opt_state), losses = jax.lax.scan(
@@ -606,24 +639,43 @@ class Raycaster:
                 jnp.arange(steps_per_call, dtype=jnp.int32))
             return params, opt_state, losses[-1]
 
-        return jax.jit(multi_step, donate_argnums=(0, 1))
+        jitted = jax.jit(one_step if steps_per_call <= 1 else multi_step,
+                         donate_argnums=(0, 1))
+        data = self._train_data(dataset)
+        if mesh is not None:
+            # the tables were previously jit constants (= replicated);
+            # as arguments they must be replicated explicitly
+            data = jax.device_put(data, NamedSharding(mesh, P()))
+
+        def train_step(params, opt_state, perm, offset, step, rng):
+            return jitted(params, opt_state, perm, offset, step, rng,
+                          data)
+
+        return train_step
 
     def _make_loss_fn(self, dataset: RayDataset, batch_size: int):
         """One jitted dispatch for the WHOLE validation pass: the chunk
         loop is a lax.scan over ``(num_batches, batch_size)`` index
         rows, so a 100-chunk validation costs one device call instead
-        of 100 ~3-6 ms tunnel round-trips (VERDICT r1 item 5)."""
-        sampler = dataset.sampler
+        of 100 ~3-6 ms tunnel round-trips (VERDICT r1 item 5). The
+        per-ray tables ride as jit arguments (see _train_data)."""
 
         @jax.jit
-        def loss_fn(params, batches, step):
+        def jitted(params, batches, step, data):
+            sampler_t, dataset_t = self._bind_data(dataset, data)
+
             def body(_, idx):
-                rays = sampler.sample(idx, step, None)
+                rays = sampler_t.sample(idx, step, None)
                 render = self._train_forward(params, rays)
-                return None, dataset.loss(idx, render)
+                return None, dataset_t.loss(idx, render)
 
             _, losses = jax.lax.scan(body, None, batches)
             return jnp.mean(losses)
+
+        data = self._train_data(dataset)
+
+        def loss_fn(params, batches, step):
+            return jitted(params, batches, step, data)
 
         return loss_fn
 
