@@ -26,13 +26,19 @@ def _parse_args(argv=None):
                         "(or 'synthetic[:res]')")
     parser.add_argument("output_path", help="Output NPZ path")
     parser.add_argument("--num-samples", type=int, default=128)
-    parser.add_argument("--batch-size", type=int, default=4096)
+    parser.add_argument("--num-cameras", type=int, default=100,
+                        help="Max cameras used for the sweep "
+                        "(voxelize_model.py:20-21)")
+    parser.add_argument("--batch-size", type=int, default=16384)
     parser.add_argument("--depth", type=int, default=8,
                         help="Octree depth")
     parser.add_argument("--min-leaf-size", type=int, default=4)
     parser.add_argument("--alpha-threshold", type=float, default=0.3)
     parser.add_argument("--color-space", choices=["YCrCb", "RGB"],
                         default="RGB")
+    parser.add_argument("--fused", action="store_true",
+                        help="Use the fused Pallas NeRF kernel for "
+                        "the sweep")
     return parser.parse_args(argv)
 
 
@@ -47,28 +53,13 @@ def main(argv=None):
     if dataset is None:
         return 1
 
-    raycaster = Raycaster(model)
-    sampler = dataset.sampler
+    if args.num_cameras and args.num_cameras < dataset.num_cameras:
+        dataset = dataset.sample_cameras(args.num_cameras,
+                                         dataset.num_samples, False)
 
-    positions = []
-    colors = []
-    pool = dataset.index_pool()
-    for start in range(0, len(pool), args.batch_size):
-        idx = pool[start:start + args.batch_size]
-        rays = sampler.sample(np.asarray(idx), None)
-        pred = raycaster.batched_render(params, rays, args.batch_size,
-                                        include_depth=True)
-        keep = pred.alpha > args.alpha_threshold
-        if not keep.any():
-            continue
-        starts = np.asarray(sampler.starts)[idx][keep]
-        dirs = np.asarray(sampler.directions)[idx][keep]
-        depth = pred.depth[keep]
-        positions.append(starts + depth[:, None] * dirs)
-        colors.append(np.clip(pred.color[keep], 0, 1))
-
-    positions = np.concatenate(positions)
-    colors = np.concatenate(colors)
+    raycaster = Raycaster(model, fused=args.fused)
+    positions, colors = raycaster.extract_surface(
+        params, dataset, args.batch_size, args.alpha_threshold)
     print(f"voxelizing {len(positions)} surface points")
 
     tree = OcTree.build_from_samples(positions, args.depth,

@@ -148,6 +148,47 @@ class TestCLIs:
         tree = OcTree.load(out)
         assert tree.num_leaves > 0
 
+    def test_extract_surface_matches_host_loop(self, trained,
+                                               scene_path):
+        """The single-dispatch device sweep (extract_surface) returns
+        the same surface points, in the same (pool) order, as the
+        per-batch host loop it replaced."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        import fourier_feature_nets_tpu as ffn
+        caster, params, _, _ = trained
+        dataset = ffn.ImageDataset.load(scene_path, "train",
+                                        num_samples=16)
+        threshold = 0.3
+
+        pos, col = caster.extract_surface(params, dataset,
+                                          batch_size=256,
+                                          alpha_threshold=threshold)
+
+        # host-side reference sweep (the old CLI loop)
+        sampler = dataset.sampler
+        ref_pos, ref_col = [], []
+        pool = dataset.index_pool()
+        for start in range(0, len(pool), 256):
+            idx = pool[start:start + 256]
+            rays = sampler.sample(jnp.asarray(np.asarray(idx)), None)
+            pred = caster.batched_render(params, rays, 256,
+                                         include_depth=True)
+            keep = pred.alpha > threshold
+            if not keep.any():
+                continue
+            starts = np.asarray(sampler.starts)[idx][keep]
+            dirs = np.asarray(sampler.directions)[idx][keep]
+            ref_pos.append(starts + pred.depth[keep][:, None] * dirs)
+            ref_col.append(np.clip(pred.color[keep], 0, 1))
+        ref_pos = np.concatenate(ref_pos)
+        ref_col = np.concatenate(ref_col)
+
+        assert pos.shape == ref_pos.shape, (pos.shape, ref_pos.shape)
+        np.testing.assert_allclose(pos, ref_pos, atol=1e-4)
+        np.testing.assert_allclose(col, ref_col, atol=1e-4)
+
     def test_sweep_log_parsing(self, tmp_path):
         from fourier_feature_nets_tpu.cli.sweep import (
             best_metric_from_log,
