@@ -94,6 +94,7 @@ class RaySampler:
             anneal_start/num_anneal_steps: sample-space annealing
                 schedule (ray_sampler.py:373-378).
         """
+        self._ray_tables_ready = False
         self.bounds = np.asarray(bounds, np.float32)
         lo, hi = bounds_min_max(bounds)
         self.bounds_min, self.bounds_max = lo, hi
@@ -110,16 +111,6 @@ class RaySampler:
         self.opacity_model = opacity_model
         self.opacity_params = opacity_params
         self.focus_sampling = opacity_model is not None
-
-        ray = raycast_grid(cameras)
-        self.starts = jnp.asarray(ray.origin.astype(np.float32))
-        self.directions = jnp.asarray(ray.direction.astype(np.float32))
-        nf = ray_aabb_near_far(self.starts, self.directions,
-                               jnp.asarray(lo), jnp.asarray(hi))
-        # sanitize invalid rays so downstream math stays finite
-        self.near = jnp.where(nf.valid, nf.near, 1.0)
-        self.far = jnp.where(nf.valid, nf.far, 2.0)
-        self.valid = np.asarray(nf.valid)
 
         # calibration tables for GATHER-FREE per-camera ray generation
         # (camera_ray_geometry): direction of pixel (x, y) is linear in
@@ -145,6 +136,41 @@ class RaySampler:
     # ------------------------------------------------------------------
     # construction helpers
     # ------------------------------------------------------------------
+
+    # Per-ray tables (starts/directions/near/far/valid) are built
+    # LAZILY: whole-frame rendering computes ray geometry from the
+    # calibration tables and never reads them, and for an orbit of
+    # fresh cameras at 800px they are ~1 GB of host raycasting +
+    # device upload (measured ~17 min of a 40-frame orbit's setup
+    # through the remote runtime). Index-based paths (training,
+    # probe_cdf(idx), to_valid) materialize them on first access.
+    _RAY_TABLES = ("starts", "directions", "near", "far", "valid")
+
+    def __getattr__(self, name):
+        if (name in RaySampler._RAY_TABLES
+                and self.__dict__.get("_ray_tables_ready") is False):
+            self._build_ray_tables()
+            return self.__dict__[name]
+        raise AttributeError(
+            f"{type(self).__name__!r} object has no attribute {name!r}")
+
+    def ensure_ray_tables(self) -> None:
+        """Materializes the per-ray tables (gather-based paths)."""
+        if not self._ray_tables_ready:
+            self._build_ray_tables()
+
+    def _build_ray_tables(self) -> None:
+        ray = raycast_grid(self.cameras)
+        self.starts = jnp.asarray(ray.origin.astype(np.float32))
+        self.directions = jnp.asarray(ray.direction.astype(np.float32))
+        nf = ray_aabb_near_far(self.starts, self.directions,
+                               jnp.asarray(self.bounds_min),
+                               jnp.asarray(self.bounds_max))
+        # sanitize invalid rays so downstream math stays finite
+        self.near = jnp.where(nf.valid, nf.near, 1.0)
+        self.far = jnp.where(nf.valid, nf.far, 2.0)
+        self.valid = np.asarray(nf.valid)
+        self._ray_tables_ready = True
 
     def _precompute_cdfs(self) -> jnp.ndarray:
         """Sweeps the opacity model over all rays to build focus CDFs.

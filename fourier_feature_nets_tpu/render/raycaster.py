@@ -615,7 +615,12 @@ class Raycaster:
         Passing them as arguments keeps the payload model-sized. Same
         pattern as :meth:`_frame_fn`'s geometry dict.
         """
-        return {"sampler": self._device_arrays(dataset.sampler),
+        sampler = dataset.sampler
+        if hasattr(sampler, "ensure_ray_tables"):
+            # index-based sampling gathers from the per-ray tables;
+            # materialize them before collecting (they're lazy)
+            sampler.ensure_ray_tables()
+        return {"sampler": self._device_arrays(sampler),
                 "dataset": self._device_arrays(dataset)}
 
     @staticmethod
