@@ -152,3 +152,35 @@ def test_render_frame_multichip_matches_single(cameras, bounds):
     multi_c = caster.render_frame(params, occ, 0, chunk_size=64,
                                   mesh=mesh)
     np.testing.assert_array_equal(multi_c, single_c)
+
+
+def test_lazy_ray_tables(cameras, bounds):
+    """Per-ray tables are NOT built by whole-frame rendering (they're
+    ~1 GB for an 800px orbit and the gather-free path never reads
+    them); index-based access materializes them on demand with
+    identical values."""
+    model = Voxels(side=8, scale=1.0)
+    params = model.init(jax.random.PRNGKey(0))
+    caster = ffn.Raycaster(model)
+
+    sampler = RaySampler(bounds, cameras, num_samples=16)
+    assert not sampler._ray_tables_ready
+    caster.render_frame(params, sampler, 0, chunk_size=96)
+    assert not sampler._ray_tables_ready, \
+        "render_frame must not materialize per-ray tables"
+
+    # on-demand build via attribute access; values match an eager
+    # sampler exactly
+    starts = np.asarray(sampler.starts)
+    assert sampler._ray_tables_ready
+    eager = RaySampler(bounds, cameras, num_samples=16)
+    eager.ensure_ray_tables()
+    np.testing.assert_array_equal(starts, np.asarray(eager.starts))
+    np.testing.assert_array_equal(np.asarray(sampler.directions),
+                                  np.asarray(eager.directions))
+    np.testing.assert_array_equal(np.asarray(sampler.valid),
+                                  np.asarray(eager.valid))
+
+    # unknown attributes still raise cleanly (no __getattr__ loops)
+    with pytest.raises(AttributeError):
+        sampler.not_an_attribute
