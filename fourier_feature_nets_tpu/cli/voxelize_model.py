@@ -9,8 +9,6 @@ octree builder fits a sparse tree to it.
 import os
 from argparse import ArgumentDefaultsHelpFormatter, ArgumentParser
 
-import numpy as np
-
 from ..datasets import ImageDataset
 from ..models import load_model
 from ..octree import OcTree
