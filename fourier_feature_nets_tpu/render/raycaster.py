@@ -957,6 +957,19 @@ class Raycaster:
                         train_dataset.mode = dataset_mode
                         val_dataset.mode = dataset_mode
                         trainval_dataset.mode = dataset_mode
+                        if dataset_mode == Mode.Dilate:
+                            # the compiled step traced the loss under
+                            # Center mode, but Dilate DISABLES the
+                            # alpha term (image_dataset.py:287-296) —
+                            # rebuild so post-crop semantics match the
+                            # eager reference (other modes share the
+                            # Center trace; no recompile needed)
+                            train_step = self._make_train_step(
+                                train_dataset, batch_size,
+                                learning_rate, decay_rate, decay_steps,
+                                weight_decay, mesh,
+                                steps_per_call=chunk)
+                            val_loss_fns.clear()
                         restart_epoch = True
 
                 # due iff [first, last] covers a multiple of
