@@ -39,6 +39,20 @@ class Visualizer(ABC):
                   act_render: ActivationRender):
         """Creates a visualization with the provided render functions."""
 
+    def _due(self, step: int) -> bool:
+        """True when ``step`` enters a new ``self._interval`` window.
+
+        ``fit(steps_per_call=K)`` reports only the LAST step of each
+        K-step chunk (99, 199, ...), so the reference's exact-multiple
+        gate (``step % interval == 0``, visualizers.py:43) would never
+        fire; interval-CROSSING semantics fire once per covered
+        multiple and reduce to the reference's gate at K=1."""
+        prev = getattr(self, "_prev_step", None)
+        self._prev_step = step
+        if prev is None:
+            return step % self._interval == 0
+        return step // self._interval > prev // self._interval
+
 
 class EvaluationVisualizer(Visualizer):
     """2x2 grids of prediction / GT / depth / error
@@ -57,7 +71,7 @@ class EvaluationVisualizer(Visualizer):
     def visualize(self, step: int, render: ImageRender,
                   _: ActivationRender):
         """Writes one evaluation grid if the step is on the interval."""
-        if step % self._interval != 0:
+        if not self._due(step):
             return
 
         camera = self._index % self._dataset.num_cameras
@@ -118,7 +132,7 @@ class OrbitVideoVisualizer(Visualizer):
     def visualize(self, step: int, render: ImageRender,
                   _: ActivationRender):
         """Writes one orbit frame if the step is on the interval."""
-        if step % self._interval != 0:
+        if not self._due(step):
             return
         camera = self._index % self._sampler.num_cameras
         samples = self._sampler.rays_for_camera(camera)
@@ -152,7 +166,7 @@ class ActivationVisualizer(Visualizer):
     def visualize(self, step: int, _: ImageRender,
                   act_render: ActivationRender):
         """Writes one activation-grid frame if on the interval."""
-        if step % self._interval != 0:
+        if not self._due(step):
             return
         image = act_render(self._sampler, self._index)
         name = "frame_{:05d}.png".format(self._index)
@@ -177,7 +191,7 @@ class ComparisonVisualizer(Visualizer):
     def visualize(self, step: int, render: ImageRender,
                   _: ActivationRender):
         """Writes one comparison strip if on the interval."""
-        if step % self._interval != 0:
+        if not self._due(step):
             return
 
         num_cameras = self._train.num_cameras

@@ -200,3 +200,58 @@ class TestCLIs:
                        "100\t2.0\t20.0\t18.5\n")
         assert best_metric_from_log(str(log)) == 18.5
         assert best_metric_from_log(str(log), "psnr_train") == 20.0
+
+
+class TestVisualizerDue:
+    def test_interval_crossing_semantics(self):
+        """_due fires once per covered interval window — including
+        chunked-fit step sequences (99, 199, ...) that never land on
+        exact multiples — and reduces to the reference's modulo gate
+        for step-by-step sequences."""
+        from fourier_feature_nets_tpu.visualizers import Visualizer
+
+        class Probe(Visualizer):
+            _interval = 100
+
+            def visualize(self, step, render, act_render):
+                pass
+
+        # chunked: last-executed steps of 100-step chunks
+        probe = Probe()
+        fired = [s for s in range(99, 1000, 100) if probe._due(s)]
+        assert fired == [199, 299, 399, 499, 599, 699, 799, 899, 999]
+
+        # step-by-step: exact multiples only (reference parity)
+        probe = Probe()
+        fired = [s for s in range(0, 301) if probe._due(s)]
+        assert fired == [0, 100, 200, 300]
+
+    def test_fit_fires_visualizers_under_chunking(self, trained):
+        """End-to-end: a visualizer with interval 10 fires during a
+        chunked fit whose report steps never hit exact multiples."""
+        import jax
+
+        import fourier_feature_nets_tpu as ffn
+        from fourier_feature_nets_tpu.models import Voxels
+        from fourier_feature_nets_tpu.visualizers import Visualizer
+
+        _, _, train, val = trained
+        steps = []
+
+        class Recorder(Visualizer):
+            _interval = 10
+
+            def visualize(self, step, render, act_render):
+                if self._due(step):
+                    steps.append(step)
+
+        model = Voxels(side=8, scale=1.0)
+        caster = ffn.Raycaster(model)
+        caster.fit(model.init(jax.random.PRNGKey(0)), train, val,
+                   batch_size=256, learning_rate=0.02, num_steps=21,
+                   crop_steps=0, report_interval=50, decay_rate=0.9,
+                   decay_steps=25000, steps_per_call=7,
+                   visualizers=[Recorder()])
+        # chunks end at 6, 13, 20, 27: windows crossing a multiple of
+        # 10 are [7,13] and [14,20]
+        assert steps == [13, 20], steps
