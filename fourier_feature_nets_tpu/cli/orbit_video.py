@@ -62,6 +62,10 @@ def _parse_args(argv=None):
     parser.add_argument("--data-parallel", action="store_true",
                         help="Shard each frame's rays across all "
                              "devices (shard_map over a 1-D mesh)")
+    parser.add_argument("--mp4", help="Also assemble the frames into "
+                        "this MP4 file")
+    parser.add_argument("--framerate", type=float, default=20,
+                        help="MP4 frame rate")
     return parser.parse_args(argv)
 
 
@@ -139,6 +143,18 @@ def main(argv=None):
             pending = buffer
         write(args.num_frames - 1, pending)
     progress.finish()
+
+    if args.mp4:
+        size = (args.resolution, args.resolution)
+        writer = cv2.VideoWriter(args.mp4,
+                                 cv2.VideoWriter_fourcc(*"mp4v"),
+                                 args.framerate, size)
+        for frame in range(args.num_frames):
+            path = os.path.join(args.output_dir,
+                                "frame_{:05d}.png".format(frame))
+            writer.write(cv2.imread(path))
+        writer.release()
+        print(f"wrote {args.mp4}: {args.num_frames} frames")
     return 0
 
 
