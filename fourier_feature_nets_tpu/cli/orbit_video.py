@@ -62,6 +62,15 @@ def _parse_args(argv=None):
     parser.add_argument("--data-parallel", action="store_true",
                         help="Shard each frame's rays across all "
                              "devices (shard_map over a 1-D mesh)")
+    parser.add_argument("--density-grid", action="store_true",
+                        help="Occupancy-guided sampling from the "
+                        "model's own density field (no octree file "
+                        "needed; best quality-per-sample for "
+                        "volumetric scenes)")
+    parser.add_argument("--density-threshold", type=float,
+                        default=1e-3,
+                        help="Per-cell alpha threshold for "
+                        "--density-grid")
     parser.add_argument("--mp4", help="Also assemble the frames into "
                         "this MP4 file")
     parser.add_argument("--framerate", type=float, default=20,
@@ -87,7 +96,16 @@ def main(argv=None):
     raycaster = Raycaster(model, compute_dtype=compute_dtype,
                           fused=model.model_type == "nerf")
 
-    if args.octree:
+    if args.density_grid:
+        # occupancy from the model's own density field (one 64^3
+        # model sweep) — best quality-per-sample for volumetric
+        # content and needs no octree file (see
+        # density_grid_from_model)
+        from ..render.occupancy_sampler import OccupancyGridSampler
+        sampler = OccupancyGridSampler.from_model(
+            model, params, orbit_cameras, args.num_samples,
+            alpha_threshold=args.density_threshold, bounds=bounds)
+    elif args.octree:
         from ..octree import OcTree
         tree = OcTree.load(args.octree)
         if args.octree_mode == "occupancy":

@@ -44,13 +44,17 @@ def _descend(node_index: jnp.ndarray, leaf_index: jnp.ndarray,
     ``in_tree`` distinguishes interior termination (empty space /
     leaf) from never entering the volume.
     """
+    # linear-octree ids fit int32 through depth 10
+    # ((8**12 - 1) / 7 > 2**31 only beyond that); the C++/NumPy hosts
+    # handle deeper trees, the device path guards explicitly
+    assert max_depth <= 10, "device traversal supports depth <= 10"
     num = points.shape[0]
 
     def body(state, _):
         center, half, node_id, leaf, done = state
-        oct_x = (points[:, 0] >= center[:, 0]).astype(jnp.int64) * X_POS
-        oct_y = (points[:, 1] >= center[:, 1]).astype(jnp.int64) * Y_POS
-        oct_z = (points[:, 2] >= center[:, 2]).astype(jnp.int64) * Z_POS
+        oct_x = (points[:, 0] >= center[:, 0]).astype(jnp.int32) * X_POS
+        oct_y = (points[:, 1] >= center[:, 1]).astype(jnp.int32) * Y_POS
+        oct_z = (points[:, 2] >= center[:, 2]).astype(jnp.int32) * Z_POS
         octant = oct_x + oct_y + oct_z
         child_id = (node_id << 3) + 1 + octant
         child_half = half * 0.5
@@ -73,8 +77,8 @@ def _descend(node_index: jnp.ndarray, leaf_index: jnp.ndarray,
 
     init = (jnp.zeros((num, 3), jnp.float32),
             jnp.full((num,), scale, jnp.float32),
-            jnp.zeros((num,), jnp.int64),
-            jnp.full((num,), -1, jnp.int64),
+            jnp.zeros((num,), jnp.int32),
+            jnp.full((num,), -1, jnp.int32),
             jnp.zeros((num,), bool))
     (center, half, _, leaf, _), _ = jax.lax.scan(body, init, None,
                                                  length=max_depth)

@@ -29,7 +29,8 @@ from ..ops.grid_sample import grid_sample_3d
 from ..ops.sampling import batch_linspace, inverse_cdf_from_bins
 from .ray_sampler import RaySampler, RaySamples
 
-__all__ = ["occupancy_grid_from_tree", "OccupancyGridSampler"]
+__all__ = ["occupancy_grid_from_tree", "density_grid_from_model",
+           "OccupancyGridSampler"]
 
 
 def occupancy_grid_from_tree(tree: OcTree, resolution: int = 64,
@@ -62,17 +63,59 @@ def occupancy_grid_from_tree(tree: OcTree, resolution: int = 64,
     return grid
 
 
+def density_grid_from_model(model, params, resolution: int = 64,
+                            scale: float = 1.0,
+                            alpha_threshold: float = 1e-3) -> np.ndarray:
+    """Occupancy volume from a trained model's OWN density field.
+
+    Evaluates opacity at the (R, R, R) cell centers in ONE jitted call
+    (R=64 is 262k points — milliseconds on the accelerator) and
+    thresholds per-cell alpha ``1 - exp(-softplus(sigma) * cell)``.
+
+    This is the right occupancy source for VOLUMETRIC content: the
+    voxelize_model octree marks camera-visible depth SURFACES, which
+    under-covers translucent interiors — measured on the 800px
+    synthetic scene (32-sample renders vs 128-sample brute force at
+    40.4 dB): surface-octree CDF 21.4 dB, plain uniform 34.6 dB,
+    density grid **39.9 dB** (docs/RESULTS.md). The instant-ngp /
+    NerfAcc occupancy-grid recipe, one model sweep instead of a
+    train-time cache.
+    """
+    centers = (np.arange(resolution) + 0.5) / resolution * 2 - 1
+    centers = centers * scale
+    zz, yy, xx = np.meshgrid(centers, centers, centers, indexing="ij")
+    points = jnp.asarray(
+        np.stack([xx, yy, zz], -1).reshape(-1, 3).astype(np.float32))
+
+    @jax.jit
+    def cell_alpha(points):
+        if getattr(model, "use_view", False):
+            out = model.apply(params, points, jnp.zeros_like(points))
+        else:
+            out = model.apply(params, points)
+        sigma = jax.nn.softplus(out[:, 3])
+        cell = 2.0 * scale / resolution
+        return 1.0 - jnp.exp(-sigma * cell)
+
+    alpha = np.asarray(cell_alpha(points))
+    return (alpha > alpha_threshold).astype(np.float32).reshape(
+        resolution, resolution, resolution)
+
+
 class OccupancyGridSampler(RaySampler):
     """RaySampler that concentrates samples in occupied space using a
-    dense occupancy volume derived from an octree."""
+    dense occupancy volume derived from an octree or from the model's
+    own density field (:meth:`from_model`)."""
 
-    def __init__(self, tree: OcTree, cameras: List[CameraInfo],
+    def __init__(self, tree: Optional[OcTree], cameras: List[CameraInfo],
                  num_samples: int, stratified: bool = False,
                  grid_resolution: int = 64, num_probes: int = 32,
                  empty_weight: float = 1e-2, trilinear: bool = False,
                  bounds: Optional[np.ndarray] = None,
                  probe_mode: str = "matmul",
-                 probe_resolution: int = 32):
+                 probe_resolution: int = 32,
+                 occupancy_grid: Optional[np.ndarray] = None,
+                 grid_scale: Optional[float] = None):
         """Constructor.
 
         Args:
@@ -97,8 +140,13 @@ class OccupancyGridSampler(RaySampler):
             probe_resolution: coarse table side for "matmul" mode
                 (clamped to ``grid_resolution``).
         """
+        if occupancy_grid is None:
+            grid_scale = float(tree.scale)
+        elif grid_scale is None:
+            raise ValueError("grid_scale is required with an explicit "
+                             "occupancy_grid")
         if bounds is None:
-            side = 2 * tree.scale
+            side = 2 * grid_scale
             bounds = np.diag([side, side, side, 1.0]).astype(np.float32)
         super().__init__(bounds, cameras, num_samples, stratified)
         self.tree = tree
@@ -106,9 +154,13 @@ class OccupancyGridSampler(RaySampler):
         self.empty_weight = empty_weight
         self.trilinear = trilinear
         self.probe_mode = probe_mode
-        self._grid_scale = float(tree.scale)
+        self._grid_scale = float(grid_scale)
+        if occupancy_grid is None:
+            grid = occupancy_grid_from_tree(tree, grid_resolution)
+        else:
+            grid = np.asarray(occupancy_grid, np.float32)
+            grid_resolution = grid.shape[0]
         self._grid_resolution = grid_resolution
-        grid = occupancy_grid_from_tree(tree, grid_resolution)
         self.occupancy = jnp.asarray(grid[..., None])
         self.occupancy_flat = jnp.asarray(grid.reshape(-1))
 
@@ -130,6 +182,28 @@ class OccupancyGridSampler(RaySampler):
                                          - flat_table.size))
         self._probe_lanes = lanes
         self.probe_table = jnp.asarray(flat_table.reshape(rows, lanes))
+
+    @classmethod
+    def from_model(cls, model, params, cameras: List[CameraInfo],
+                   num_samples: int, stratified: bool = False,
+                   grid_resolution: int = 64,
+                   alpha_threshold: float = 1e-3,
+                   empty_weight: float = 0.1,
+                   scale: float = 1.0,
+                   bounds: Optional[np.ndarray] = None,
+                   **kwargs) -> "OccupancyGridSampler":
+        """Sampler guided by the model's own density field — no octree
+        intermediate (see :func:`density_grid_from_model` for the
+        measured quality rationale). ``empty_weight`` defaults higher
+        than tree mode (0.1 vs 1e-2): density grids are exact where
+        the model is, so residual mass in empty bins only needs to
+        cover threshold effects, but starving them was the measured
+        failure mode of over-concentration."""
+        grid = density_grid_from_model(model, params, grid_resolution,
+                                       scale, alpha_threshold)
+        return cls(None, cameras, num_samples, stratified,
+                   empty_weight=empty_weight, bounds=bounds,
+                   occupancy_grid=grid, grid_scale=scale, **kwargs)
 
     def _occupancy_matmul(self, flat_pts: jnp.ndarray) -> jnp.ndarray:
         """Occupancy via one-hot matmuls on the coarse table.

@@ -205,3 +205,59 @@ class TestOccupancyProbeMatmul:
                   jax.random.PRNGKey(0))
         assert rays.positions.shape == (16, 8, 3)
         assert not np.isnan(np.asarray(rays.positions)).any()
+
+
+class TestDensityGridSampler:
+    def test_density_grid_matches_voxel_opacity(self):
+        """from_model occupancy marks exactly the cells where the
+        model's own density exceeds the alpha threshold — validated
+        against a Voxels grid with a known opaque block."""
+        from fourier_feature_nets_tpu.models import Voxels
+        from fourier_feature_nets_tpu.render.occupancy_sampler import (
+            density_grid_from_model,
+        )
+        model = Voxels(side=8, scale=1.0)
+        params = model.init(jax.random.PRNGKey(0))
+        # opaque block in one octant, zero elsewhere (voxel grid is
+        # (side, side, side, 4) with opacity logits in channel 3)
+        voxels = np.zeros((8, 8, 8, 4), np.float32)
+        voxels[..., 3] = -20.0                 # softplus(-20) ~ 0
+        voxels[4:, 4:, 4:, 3] = 20.0           # softplus(20) ~ 20
+        params = {"voxels": jnp.asarray(voxels),
+                  "bias": jnp.zeros((4,), jnp.float32)}
+
+        grid = density_grid_from_model(model, params, resolution=16,
+                                       scale=1.0,
+                                       alpha_threshold=1e-3)
+        assert grid.shape == (16, 16, 16)
+        # the occupied octant (z, y, x all positive) is marked...
+        assert grid[9:15, 9:15, 9:15].mean() > 0.99
+        # ...and the opposite octant is empty
+        assert grid[:7, :7, :7].max() == 0.0
+
+    def test_from_model_sampler_renders(self, cameras):
+        import fourier_feature_nets_tpu as ffn
+        from fourier_feature_nets_tpu.models import Voxels
+        from fourier_feature_nets_tpu.render.occupancy_sampler import (
+            OccupancyGridSampler,
+        )
+        model = Voxels(side=8, scale=1.0)
+        params = model.init(jax.random.PRNGKey(0))
+        sampler = OccupancyGridSampler.from_model(
+            model, params, cameras, num_samples=16, grid_resolution=16)
+        assert sampler.tree is None
+        caster = ffn.Raycaster(model)
+        image = caster.render_frame(params, sampler, 0, chunk_size=64)
+        assert image.shape == (16, 16, 3)
+
+    def test_explicit_grid_requires_scale(self, cameras):
+        from fourier_feature_nets_tpu.render.occupancy_sampler import (
+            OccupancyGridSampler,
+        )
+        grid = np.ones((8, 8, 8), np.float32)
+        with pytest.raises(ValueError):
+            OccupancyGridSampler(None, cameras, 8, occupancy_grid=grid)
+        sampler = OccupancyGridSampler(None, cameras, 8,
+                                       occupancy_grid=grid,
+                                       grid_scale=1.0)
+        assert sampler._grid_resolution == 8

@@ -61,14 +61,24 @@ def main():
 
     brute = RaySampler(bounds, cameras, 128)
     base = report("brute force 128 samples", brute)
+    ob = np.diag([2.0, 2.0, 2.0, 1.0]).astype(np.float32)
+
+    mean = report("uniform 32 samples",
+                  RaySampler(bounds, cameras, 32))
+    print(f"    quality cost vs brute force: {base - mean:+.3f} dB")
 
     for num in (48, 32, 24):
+        dg = OccupancyGridSampler.from_model(model, params, cameras,
+                                             num, bounds=ob)
+        mean = report(f"density grid {num} samples + culling", dg)
+        print(f"    quality cost vs brute force: "
+              f"{base - mean:+.3f} dB")
+
+    for num in (32,):
         occ = OccupancyGridSampler(tree, cameras, num,
                                    grid_resolution=64, num_probes=32,
-                                   bounds=np.diag(
-                                       [2.0, 2.0, 2.0, 1.0]
-                                   ).astype(np.float32))
-        mean = report(f"occupancy {num} samples + culling", occ)
+                                   bounds=ob)
+        mean = report(f"surface octree {num} samples + culling", occ)
         print(f"    quality cost vs brute force: "
               f"{base - mean:+.3f} dB")
 
