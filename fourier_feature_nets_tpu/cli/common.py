@@ -42,16 +42,35 @@ def add_common_train_args(parser):
     parser.add_argument("--resume", action="store_true",
                         help="Resume from the newest checkpoint in "
                              "<results_dir>/checkpoints")
+    parser.add_argument("--occupancy-interval", type=int, default=0,
+                        help="Enable occupancy-guided training: "
+                             "refresh a density grid from the live "
+                             "model every N steps and sample "
+                             "--occupancy-samples rays/step through "
+                             "it (0 disables)")
+    parser.add_argument("--occupancy-samples", type=int, default=32,
+                        help="Samples/ray once occupancy-guided "
+                             "training activates")
+    parser.add_argument("--occupancy-start", type=int, default=0,
+                        help="First occupancy-guided step (0: after "
+                             "the crop curriculum, at least 1000)")
 
 
-def checkpoint_kwargs(args):
-    """fit() checkpoint/resume kwargs from the common CLI flags."""
+def fit_kwargs(args):
+    """fit() checkpoint/resume/occupancy kwargs from the common CLI flags."""
+    kwargs = {}
+    if getattr(args, "occupancy_interval", 0):
+        kwargs.update(
+            occupancy_interval=args.occupancy_interval,
+            occupancy_samples=args.occupancy_samples,
+            occupancy_start=args.occupancy_start or None)
     if not (args.checkpoint_interval or args.resume):
-        return {}
+        return kwargs
     directory = os.path.join(args.results_dir, "checkpoints")
-    return {"checkpoint_dir": directory,
-            "checkpoint_interval": args.checkpoint_interval or None,
-            "resume": args.resume}
+    kwargs.update(checkpoint_dir=directory,
+                  checkpoint_interval=args.checkpoint_interval or None,
+                  resume=args.resume)
+    return kwargs
 
 
 def load_opacity(path, args):

@@ -101,7 +101,7 @@ def main(argv=None):
                                 visualizers, mesh=common.get_mesh(args),
                                 seed=args.seed,
                                 steps_per_call=args.steps_per_call,
-                                **common.checkpoint_kwargs(args))
+                                **common.fit_kwargs(args))
 
     save_model(model, params,
                os.path.join(args.results_dir, "tiny_nerf.npz"))

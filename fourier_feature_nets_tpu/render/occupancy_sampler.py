@@ -159,12 +159,25 @@ class OccupancyGridSampler(RaySampler):
             grid = occupancy_grid_from_tree(tree, grid_resolution)
         else:
             grid = np.asarray(occupancy_grid, np.float32)
-            grid_resolution = grid.shape[0]
+        self._probe_target = min(probe_resolution,
+                                 int(grid.shape[0]))
+        self.set_occupancy_grid(grid)
+
+    def set_occupancy_grid(self, grid: np.ndarray) -> None:
+        """(Re)installs the occupancy volume and its derived tables.
+
+        Same-shape refreshes swap device arrays in place, so a
+        compiled step that receives them as jit ARGUMENTS (the
+        _train_data pattern) picks up the new occupancy WITHOUT
+        recompiling — the mechanism behind occupancy-guided training's
+        periodic grid updates from the live model."""
+        grid = np.asarray(grid, np.float32)
+        grid_resolution = int(grid.shape[0])
         self._grid_resolution = grid_resolution
         self.occupancy = jnp.asarray(grid[..., None])
         self.occupancy_flat = jnp.asarray(grid.reshape(-1))
 
-        side = min(probe_resolution, grid_resolution)
+        side = min(self._probe_target, grid_resolution)
         factor = grid_resolution // side
         side = grid_resolution // factor
         coarse = grid.reshape(side, factor, side, factor,

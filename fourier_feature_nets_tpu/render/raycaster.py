@@ -725,16 +725,27 @@ class Raycaster:
 
         jitted = jax.jit(one_step if steps_per_call <= 1 else multi_step,
                          donate_argnums=(0, 1))
-        data = self._train_data(dataset)
-        if mesh is not None:
-            # the tables were previously jit constants (= replicated);
-            # as arguments they must be replicated explicitly
-            data = jax.device_put(data, NamedSharding(mesh, P()))
+        state = {}
+
+        def refresh():
+            """Re-collects the dataset/sampler device arrays. Because
+            they are jit ARGUMENTS, swapping same-shape arrays (e.g. a
+            refreshed occupancy grid) costs NO recompile."""
+            data = self._train_data(dataset)
+            if mesh is not None:
+                # the tables were previously jit constants
+                # (= replicated); as arguments they must be
+                # replicated explicitly
+                data = jax.device_put(data, NamedSharding(mesh, P()))
+            state["data"] = data
+
+        refresh()
 
         def train_step(params, opt_state, perm, offset, step, rng):
             return jitted(params, opt_state, perm, offset, step, rng,
-                          data)
+                          state["data"])
 
+        train_step.refresh = refresh
         return train_step
 
     def _make_loss_fn(self, dataset: RayDataset, batch_size: int):
@@ -799,7 +810,11 @@ class Raycaster:
             checkpoint_dir: Optional[str] = None,
             checkpoint_interval: Optional[int] = None,
             resume: bool = False,
-            steps_per_call: int = 1) -> Tuple[dict, List[LogEntry]]:
+            steps_per_call: int = 1,
+            occupancy_interval: Optional[int] = None,
+            occupancy_samples: int = 32,
+            occupancy_start: Optional[int] = None
+            ) -> Tuple[dict, List[LogEntry]]:
         """Fits the model to the dataset (ray_caster.py:248-377 parity).
 
         Args:
@@ -829,6 +844,23 @@ class Raycaster:
                 (lax.scan inside one jit). Values > 1 amortize
                 per-dispatch runtime overhead; reports, visualizers
                 and checkpoints then land on chunk boundaries.
+            occupancy_interval: when set, enables occupancy-guided
+                TRAINING (the NerfAcc recipe on this framework's CDF
+                machinery): from ``occupancy_start`` on, the train
+                sampler is swapped for a density-grid
+                OccupancyGridSampler drawing ``occupancy_samples``
+                samples/ray (vs the dataset's full count — the
+                speedup), and the grid is re-thresholded from the
+                LIVE model every ``occupancy_interval`` steps.
+                Because the tables ride as jit arguments
+                (_train_data), each refresh costs one 262k-point
+                model sweep and ZERO recompiles. Validation always
+                uses the dataset's original full-sample uniform
+                protocol. Incompatible with focus/opacity samplers.
+            occupancy_samples: samples/ray for the guided phase.
+            occupancy_start: first guided step (default: after the
+                crop curriculum, at least 1000 — early density fields
+                are noise).
 
         Returns:
             (params, log) — final parameters and LogEntry list.
@@ -895,6 +927,53 @@ class Raycaster:
         checkpointer = None
         if checkpoint_dir and checkpoint_interval:
             checkpointer = AsyncCheckpointer(checkpoint_dir)
+
+        base_sampler = train_dataset.sampler
+        occupancy_active = False
+        if occupancy_interval:
+            if base_sampler.focus_sampling:
+                raise ValueError("occupancy-guided training is "
+                                 "incompatible with a focus/opacity "
+                                 "sampler")
+            if occupancy_start is None:
+                occupancy_start = max(crop_steps, 1000)
+
+        def update_occupancy(last):
+            """Swaps in (first call, one recompile) or refreshes
+            (zero recompiles) the density-grid training sampler."""
+            nonlocal train_step, occupancy_active
+            from .occupancy_sampler import (
+                OccupancyGridSampler,
+                density_grid_from_model,
+            )
+            scale = float(base_sampler.bounds_max[0])
+            grid = density_grid_from_model(self.model, params,
+                                           scale=scale)
+            if not occupancy_active:
+                print("Enabling occupancy-guided sampling "
+                      f"({occupancy_samples} samples/ray)...")
+                occ = OccupancyGridSampler(
+                    None, base_sampler.cameras, occupancy_samples,
+                    stratified=base_sampler.stratified,
+                    bounds=base_sampler.bounds, occupancy_grid=grid,
+                    grid_scale=scale)
+                # same cameras + bounds => identical per-ray tables;
+                # share the base sampler's instead of rebuilding
+                # (~0.5 GB + upload at 800px scale)
+                base_sampler.ensure_ray_tables()
+                for name in RaySampler._RAY_TABLES:
+                    object.__setattr__(occ, name,
+                                       getattr(base_sampler, name))
+                occ._ray_tables_ready = True
+                train_dataset.sampler = occ
+                train_step = self._make_train_step(
+                    train_dataset, batch_size, learning_rate,
+                    decay_rate, decay_steps, weight_decay, mesh,
+                    steps_per_call=chunk)
+                occupancy_active = True
+            else:
+                train_dataset.sampler.set_occupancy_grid(grid)
+                train_step.refresh()
 
         log: List[LogEntry] = []
         step = start_step
@@ -983,6 +1062,16 @@ class Raycaster:
                     checkpointer.save(self.model, params, opt_state,
                                       last, seed)
 
+                # occupancy activation/refresh: due when [first, last]
+                # enters a new occupancy_interval window past the
+                # start (and immediately at activation)
+                if (occupancy_interval and last >= occupancy_start
+                        and train_dataset.mode != Mode.Center
+                        and (not occupancy_active
+                             or last // occupancy_interval
+                             > (first - 1) // occupancy_interval)):
+                    update_occupancy(last)
+
                 if not restart_epoch:
                     for visualizer in visualizers:
                         visualizer.visualize(last, render_image_fn,
@@ -990,4 +1079,6 @@ class Raycaster:
 
         if checkpointer is not None:
             checkpointer.close()
+        if occupancy_active:
+            train_dataset.sampler = base_sampler
         return params, log

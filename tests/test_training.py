@@ -377,3 +377,49 @@ class TestAsyncCheckpointer:
         assert path is not None
         state = load_train_state(path)
         assert state.step >= 10
+
+
+def test_occupancy_guided_training(datasets):
+    """Occupancy-guided fit: the sampler swaps to a density grid at
+    occupancy_start, refreshes WITHOUT recompiling, trains at the
+    reduced sample count, and restores the base sampler at the end —
+    while still converging on the scene."""
+    from fourier_feature_nets_tpu.render.occupancy_sampler import (
+        OccupancyGridSampler,
+    )
+    train, val = datasets
+    base_sampler = train.sampler
+    model = Voxels(side=24, scale=1.0)
+    caster = ffn.Raycaster(model)
+
+    swapped = {}
+    original_visualize = []
+
+    class SamplerProbe:
+        _interval = 10
+
+        def visualize(self, step, render, act_render):
+            if isinstance(train.sampler, OccupancyGridSampler):
+                swapped.setdefault("first_step", step)
+                swapped["grid_id"] = id(train.sampler.occupancy)
+                swapped.setdefault("grids", set()).add(
+                    id(train.sampler.occupancy))
+                swapped["num_samples"] = train.sampler.num_samples
+
+    params, log = caster.fit(model.init(jax.random.PRNGKey(0)), train,
+                             val, batch_size=512, learning_rate=0.05,
+                             num_steps=300, crop_steps=0,
+                             report_interval=150, decay_rate=0.9,
+                             decay_steps=25000, steps_per_call=10,
+                             visualizers=[SamplerProbe()],
+                             occupancy_interval=100,
+                             occupancy_samples=16,
+                             occupancy_start=100)
+    # swapped in during training, restored after
+    assert train.sampler is base_sampler
+    assert swapped["num_samples"] == 16
+    assert swapped["first_step"] >= 100
+    # the grid refreshed at least once past activation (new arrays)
+    assert len(swapped["grids"]) >= 2, swapped
+    # still converges
+    assert log[-1].val_psnr > 14.0, log[-1].val_psnr
