@@ -81,25 +81,39 @@ def density_grid_from_model(model, params, resolution: int = 64,
     NerfAcc occupancy-grid recipe, one model sweep instead of a
     train-time cache.
     """
-    centers = (np.arange(resolution) + 0.5) / resolution * 2 - 1
-    centers = centers * scale
-    zz, yy, xx = np.meshgrid(centers, centers, centers, indexing="ij")
-    points = jnp.asarray(
-        np.stack([xx, yy, zz], -1).reshape(-1, 3).astype(np.float32))
+    key = (id(model), resolution, float(scale))
+    if key not in _DENSITY_SWEEPS:
+        centers = (np.arange(resolution) + 0.5) / resolution * 2 - 1
+        centers = centers * scale
+        zz, yy, xx = np.meshgrid(centers, centers, centers,
+                                 indexing="ij")
+        points = jnp.asarray(
+            np.stack([xx, yy, zz], -1).reshape(-1, 3)
+            .astype(np.float32))
 
-    @jax.jit
-    def cell_alpha(points):
-        if getattr(model, "use_view", False):
-            out = model.apply(params, points, jnp.zeros_like(points))
-        else:
-            out = model.apply(params, points)
-        sigma = jax.nn.softplus(out[:, 3])
-        cell = 2.0 * scale / resolution
-        return 1.0 - jnp.exp(-sigma * cell)
+        @jax.jit
+        def cell_alpha(params, points):
+            if getattr(model, "use_view", False):
+                out = model.apply(params, points,
+                                  jnp.zeros_like(points))
+            else:
+                out = model.apply(params, points)
+            sigma = jax.nn.softplus(out[:, 3])
+            cell = 2.0 * scale / resolution
+            return 1.0 - jnp.exp(-sigma * cell)
 
-    alpha = np.asarray(cell_alpha(points))
+        _DENSITY_SWEEPS[key] = (points, cell_alpha)
+    points, cell_alpha = _DENSITY_SWEEPS[key]
+    alpha = np.asarray(cell_alpha(params, points))
     return (alpha > alpha_threshold).astype(np.float32).reshape(
         resolution, resolution, resolution)
+
+
+# jitted sweep cache: occupancy-guided training refreshes the grid
+# every N steps — rebuilding the jit closure per refresh would pay a
+# full (remote) XLA compile each time. Keyed by model identity; params
+# are an argument. Process-lifetime cache, bounded by model count.
+_DENSITY_SWEEPS = {}
 
 
 class OccupancyGridSampler(RaySampler):
