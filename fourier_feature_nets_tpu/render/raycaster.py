@@ -916,7 +916,12 @@ class Raycaster:
                                   val_loss_fns[key])
 
         def render_image_fn(samples: RaySamples, include_depth: bool):
-            return self.batched_render(params, samples, batch_size,
+            # visualizer eval renders are no-grad: use TPU-sized
+            # chunks regardless of the training batch — at 800px a
+            # 1024-ray chunking costs 625 dispatch round-trips per
+            # image through a remote runtime
+            return self.batched_render(params, samples,
+                                       max(batch_size, 16384),
                                        include_depth)
 
         def render_act_fn(sampler: RaySampler, camera: int):
