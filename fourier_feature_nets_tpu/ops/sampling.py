@@ -203,7 +203,8 @@ def _monotone_bracket(values: jnp.ndarray, hits: jnp.ndarray,
 def inverse_cdf_from_bins(t_edges: jnp.ndarray, cdf: jnp.ndarray,
                           num_samples: int,
                           rng: jax.Array = None,
-                          stratified_quantiles: bool = False
+                          stratified_quantiles: bool = False,
+                          quantiles: jnp.ndarray = None
                           ) -> jnp.ndarray:
     """Inverse-transform sampling over explicit bin edges.
 
@@ -217,12 +218,18 @@ def inverse_cdf_from_bins(t_edges: jnp.ndarray, cdf: jnp.ndarray,
             ((k + u)/num_samples) instead of iid uniforms — the
             output is then sorted by construction (no sort needed)
             with lower variance.
+        quantiles: optional precomputed (R, num_samples) quantiles in
+            [0, 1); overrides ``rng`` — pass layout-invariant per-ray
+            draws (``per_ray_uniform``) so data-parallel shardings
+            sample identically.
 
     Returns:
         (R, num_samples) t values, linearly interpolated within bins.
     """
     num_rays = t_edges.shape[0]
-    if rng is None:
+    if quantiles is not None:
+        pass
+    elif rng is None:
         quantiles = jnp.broadcast_to(
             jnp.linspace(0.0, 1.0, num_samples),
             (num_rays, num_samples))

@@ -324,15 +324,29 @@ class OccupancyGridSampler(RaySampler):
         return edges, cdf, hit
 
     def t_from_cdf(self, edges: jnp.ndarray, cdf: jnp.ndarray,
-                   rng: Optional[jax.Array] = None) -> jnp.ndarray:
-        """Draws the per-ray sample budget from a probe CDF."""
+                   rng: Optional[jax.Array] = None,
+                   idx: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Draws the per-ray sample budget from a probe CDF.
+
+        Stratified jitter is keyed by GLOBAL ray index when ``idx`` is
+        given (``per_ray_uniform``), so every data-parallel layout
+        draws identical samples for the same (seed, ray) — the same
+        layout-invariance contract as the uniform path
+        (ray_sampler.sample)."""
+        quantiles = None
+        if self.stratified and rng is not None and idx is not None:
+            from ..ops.sampling import per_ray_uniform
+            u = per_ray_uniform(rng, idx, self.num_samples, salt=2)
+            strata = jnp.arange(self.num_samples, dtype=u.dtype)
+            quantiles = (strata + u) / self.num_samples
         quantile_rng = rng if (self.stratified and rng is not None) \
             else None
         # stratified monotone quantiles: sorted by construction, so
         # the (expensive on TPU) per-ray sort is unnecessary
         return inverse_cdf_from_bins(edges, cdf, self.num_samples,
                                      quantile_rng,
-                                     stratified_quantiles=True)
+                                     stratified_quantiles=True,
+                                     quantiles=quantiles)
 
     def sample(self, idx, step=None,
                rng: Optional[jax.Array] = None) -> RaySamples:
@@ -350,7 +364,7 @@ class OccupancyGridSampler(RaySampler):
         del step  # no annealing on the occupancy path
         edges, cdf, _ = self._probe_cdf_geometry(starts, directions,
                                                  near, far)
-        t_values = self.t_from_cdf(edges, cdf, rng)
+        t_values = self.t_from_cdf(edges, cdf, rng, idx)
         positions = (starts[:, None, :]
                      + t_values[..., None] * directions[:, None, :])
         view_directions = jnp.broadcast_to(directions[:, None, :],

@@ -261,3 +261,22 @@ class TestDensityGridSampler:
                                        occupancy_grid=grid,
                                        grid_scale=1.0)
         assert sampler._grid_resolution == 8
+
+
+def test_occupancy_stratified_jitter_is_layout_invariant(tree, cameras):
+    """Stratified occupancy jitter is keyed by GLOBAL ray id, so any
+    batch ordering (and hence any data-parallel sharding) draws the
+    same samples for the same ray (the layout-invariance contract of
+    ray_sampler.sample, extended to the occupancy path)."""
+    from fourier_feature_nets_tpu.render.occupancy_sampler import (
+        OccupancyGridSampler,
+    )
+    sampler = OccupancyGridSampler(tree, cameras, num_samples=16,
+                                   grid_resolution=32, num_probes=16,
+                                   stratified=True)
+    idx = jnp.asarray(sampler._valid_for_camera(0)[:32])
+    key = jax.random.PRNGKey(7)
+    t_fwd = np.asarray(sampler.sample(idx, rng=key).t_values)
+    perm = np.random.default_rng(0).permutation(len(idx))
+    t_perm = np.asarray(sampler.sample(idx[perm], rng=key).t_values)
+    np.testing.assert_allclose(t_perm, t_fwd[perm], rtol=1e-6)
