@@ -48,7 +48,7 @@ def add_common_train_args(parser):
                              "model every N steps and sample "
                              "--occupancy-samples rays/step through "
                              "it (0 disables)")
-    parser.add_argument("--occupancy-samples", type=int, default=32,
+    parser.add_argument("--occupancy-samples", type=int, default=48,
                         help="Samples/ray once occupancy-guided "
                              "training activates")
     parser.add_argument("--occupancy-start", type=int, default=0,

@@ -812,7 +812,7 @@ class Raycaster:
             resume: bool = False,
             steps_per_call: int = 1,
             occupancy_interval: Optional[int] = None,
-            occupancy_samples: int = 32,
+            occupancy_samples: int = 48,
             occupancy_start: Optional[int] = None
             ) -> Tuple[dict, List[LogEntry]]:
         """Fits the model to the dataset (ray_caster.py:248-377 parity).
