@@ -224,3 +224,36 @@ def test_fit_routes_fused_kernel_under_mesh(scene):
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_occupancy_guided_fit_under_mesh(scene, tmp_path_factory):
+    """Occupancy-guided fit composes with data parallelism: the
+    density-grid sampler's tables replicate as jit arguments, the
+    grid refresh re-replicates without recompiling, and training
+    converges on the 8-device mesh."""
+    from fourier_feature_nets_tpu.render.occupancy_sampler import (
+        OccupancyGridSampler,
+    )
+    path = tmp_path_factory.mktemp("data") / "scene_occ.npz"
+    generate_synthetic_dataset(str(path), resolution=24,
+                               split_counts=(3, 1, 1), volume_side=16,
+                               num_samples=64)
+    train = ffn.ImageDataset.load(str(path), "train", num_samples=32,
+                                  stratified=True)
+    val = ffn.ImageDataset.load(str(path), "val", num_samples=32)
+    mesh = make_mesh(jax.devices("cpu"))
+    base_sampler = train.sampler
+    model = Voxels(side=16, scale=1.0)
+    caster = ffn.Raycaster(model)
+    params, log = caster.fit(model.init(jax.random.PRNGKey(0)), train,
+                             val, batch_size=256, learning_rate=0.05,
+                             num_steps=200, crop_steps=0,
+                             report_interval=100, decay_rate=0.9,
+                             decay_steps=25000, mesh=mesh,
+                             steps_per_call=10,
+                             occupancy_interval=50,
+                             occupancy_samples=16,
+                             occupancy_start=50)
+    assert train.sampler is base_sampler  # restored
+    assert log[-1].val_psnr > log[0].val_psnr, (
+        log[0].val_psnr, log[-1].val_psnr)
