@@ -985,105 +985,110 @@ class Raycaster:
         epoch_rng = jax.random.fold_in(rng, start_step)
         start_time = time.time()
 
-        while step <= num_steps:
-            pool = jnp.asarray(train_dataset.index_pool())
-            epoch_rng, perm_key, strat_key = jax.random.split(epoch_rng, 3)
-            perm = jax.random.permutation(perm_key, pool)
-            num_batches = len(pool) // batch_size
+        try:
+            while step <= num_steps:
+                pool = jnp.asarray(train_dataset.index_pool())
+                epoch_rng, perm_key, strat_key = jax.random.split(epoch_rng, 3)
+                perm = jax.random.permutation(perm_key, pool)
+                num_batches = len(pool) // batch_size
 
-            restart_epoch = False
-            for batch_num in range(0, max(num_batches, chunk), chunk):
-                if step > num_steps or restart_epoch:
-                    break
-                params, opt_state, loss = train_step(
-                    params, opt_state, perm,
-                    jnp.asarray(batch_num * batch_size, jnp.int32),
-                    jnp.asarray(step, jnp.int32), strat_key)
-                # this call executed steps [first, last]; everything
-                # below (reports, checkpoints, visualizers) anchors on
-                # `last` and `step` is only ever last + 1
-                first, last = step, step + chunk - 1
-                step = last + 1
+                restart_epoch = False
+                for batch_num in range(0, max(num_batches, chunk), chunk):
+                    if step > num_steps or restart_epoch:
+                        break
+                    params, opt_state, loss = train_step(
+                        params, opt_state, perm,
+                        jnp.asarray(batch_num * batch_size, jnp.int32),
+                        jnp.asarray(step, jnp.int32), strat_key)
+                    # this call executed steps [first, last]; everything
+                    # below (reports, checkpoints, visualizers) anchors on
+                    # `last` and `step` is only ever last + 1
+                    first, last = step, step + chunk - 1
+                    step = last + 1
 
-                if chunk == 1:
-                    report_due = (last < 10
-                                  or last % report_interval == 0)
-                else:
-                    # a report is due iff [first, last] covers a
-                    # multiple of report_interval
-                    report_due = (last // report_interval
-                                  > (first - 1) // report_interval)
+                    if chunk == 1:
+                        report_due = (last < 10
+                                      or last % report_interval == 0)
+                    else:
+                        # a report is due iff [first, last] covers a
+                        # multiple of report_interval
+                        report_due = (last // report_interval
+                                      > (first - 1) // report_interval)
 
-                if report_due:
-                    train_psnr = validate(trainval_dataset, last)
-                    val_psnr = validate(val_dataset, last)
-                    current_time = time.time()
-                    time_per_step = ((current_time - start_time) / last
-                                     if last >= report_interval else 0)
-                    print("{:07}".format(last),
-                          "{:2f} s/step".format(time_per_step),
-                          "psnr_train: {:2f}".format(train_psnr),
-                          "val_psnr: {:2f}".format(val_psnr))
-                    if metric_logger:
-                        metric_logger("psnr_train", train_psnr)
-                        metric_logger("psnr_val", val_psnr)
-                        metric_logger("time_per_step", time_per_step)
+                    if report_due:
+                        train_psnr = validate(trainval_dataset, last)
+                        val_psnr = validate(val_dataset, last)
+                        current_time = time.time()
+                        time_per_step = ((current_time - start_time) / last
+                                         if last >= report_interval else 0)
+                        print("{:07}".format(last),
+                              "{:2f} s/step".format(time_per_step),
+                              "psnr_train: {:2f}".format(train_psnr),
+                              "val_psnr: {:2f}".format(val_psnr))
+                        if metric_logger:
+                            metric_logger("psnr_train", train_psnr)
+                            metric_logger("psnr_val", val_psnr)
+                            metric_logger("time_per_step", time_per_step)
 
-                    if chunk > 1 or last % report_interval == 0:
-                        state = jax.tree.map(np.asarray, params)
-                        log.append(LogEntry(last,
-                                            current_time - start_time,
-                                            state, train_psnr, val_psnr))
+                        if chunk > 1 or last % report_interval == 0:
+                            state = jax.tree.map(np.asarray, params)
+                            log.append(LogEntry(last,
+                                                current_time - start_time,
+                                                state, train_psnr, val_psnr))
 
-                    if (train_dataset.mode == Mode.Center
-                            and last >= crop_steps):
-                        print("Removing center crop...")
-                        train_dataset.mode = dataset_mode
-                        val_dataset.mode = dataset_mode
-                        trainval_dataset.mode = dataset_mode
-                        if dataset_mode == Mode.Dilate:
-                            # the compiled step traced the loss under
-                            # Center mode, but Dilate DISABLES the
-                            # alpha term (image_dataset.py:287-296) —
-                            # rebuild so post-crop semantics match the
-                            # eager reference (other modes share the
-                            # Center trace; no recompile needed)
-                            train_step = self._make_train_step(
-                                train_dataset, batch_size,
-                                learning_rate, decay_rate, decay_steps,
-                                weight_decay, mesh,
-                                steps_per_call=chunk)
-                            val_loss_fns.clear()
-                        restart_epoch = True
+                        if (train_dataset.mode == Mode.Center
+                                and last >= crop_steps):
+                            print("Removing center crop...")
+                            train_dataset.mode = dataset_mode
+                            val_dataset.mode = dataset_mode
+                            trainval_dataset.mode = dataset_mode
+                            if dataset_mode == Mode.Dilate:
+                                # the compiled step traced the loss under
+                                # Center mode, but Dilate DISABLES the
+                                # alpha term (image_dataset.py:287-296) —
+                                # rebuild so post-crop semantics match the
+                                # eager reference (other modes share the
+                                # Center trace; no recompile needed)
+                                train_step = self._make_train_step(
+                                    train_dataset, batch_size,
+                                    learning_rate, decay_rate, decay_steps,
+                                    weight_decay, mesh,
+                                    steps_per_call=chunk)
+                                val_loss_fns.clear()
+                            restart_epoch = True
 
-                # due iff [first, last] covers a multiple of
-                # checkpoint_interval — independent of the crop
-                # transition above, and labeled with the last step
-                # that actually executed (resume restarts at last + 1)
-                if (checkpointer is not None and last > start_step
-                        and (last % checkpoint_interval) < chunk):
-                    # device-side snapshot + background write: the
-                    # step loop never blocks on the host fetch
-                    checkpointer.save(self.model, params, opt_state,
-                                      last, seed)
+                    # due iff [first, last] covers a multiple of
+                    # checkpoint_interval — independent of the crop
+                    # transition above, and labeled with the last step
+                    # that actually executed (resume restarts at last + 1)
+                    if (checkpointer is not None and last > start_step
+                            and (last % checkpoint_interval) < chunk):
+                        # device-side snapshot + background write: the
+                        # step loop never blocks on the host fetch
+                        checkpointer.save(self.model, params, opt_state,
+                                          last, seed)
 
-                # occupancy activation/refresh: due when [first, last]
-                # enters a new occupancy_interval window past the
-                # start (and immediately at activation)
-                if (occupancy_interval and last >= occupancy_start
-                        and train_dataset.mode != Mode.Center
-                        and (not occupancy_active
-                             or last // occupancy_interval
-                             > (first - 1) // occupancy_interval)):
-                    update_occupancy(last)
+                    # occupancy activation/refresh: due when [first, last]
+                    # enters a new occupancy_interval window past the
+                    # start (and immediately at activation)
+                    if (occupancy_interval and last >= occupancy_start
+                            and train_dataset.mode != Mode.Center
+                            and (not occupancy_active
+                                 or last // occupancy_interval
+                                 > (first - 1) // occupancy_interval)):
+                        update_occupancy(last)
 
-                if not restart_epoch:
-                    for visualizer in visualizers:
-                        visualizer.visualize(last, render_image_fn,
-                                             render_act_fn)
+                    if not restart_epoch:
+                        for visualizer in visualizers:
+                            visualizer.visualize(last, render_image_fn,
+                                                 render_act_fn)
 
-        if checkpointer is not None:
-            checkpointer.close()
-        if occupancy_active:
-            train_dataset.sampler = base_sampler
+        finally:
+            # cleanup runs on normal exit AND on interruption: the
+            # caller's dataset gets its original sampler back and the
+            # checkpoint writer thread is joined
+            if checkpointer is not None:
+                checkpointer.close()
+            if occupancy_active:
+                train_dataset.sampler = base_sampler
         return params, log
