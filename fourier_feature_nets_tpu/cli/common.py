@@ -54,6 +54,10 @@ def add_common_train_args(parser):
     parser.add_argument("--occupancy-start", type=int, default=0,
                         help="First occupancy-guided step (0: after "
                              "the crop curriculum, at least 1000)")
+    parser.add_argument("--occupancy-end", type=int, default=0,
+                        help="Restore full uniform sampling from this "
+                             "step on (fine-tune tail; 0 keeps "
+                             "occupancy until the end)")
 
 
 def fit_kwargs(args):
@@ -63,7 +67,8 @@ def fit_kwargs(args):
         kwargs.update(
             occupancy_interval=args.occupancy_interval,
             occupancy_samples=args.occupancy_samples,
-            occupancy_start=args.occupancy_start or None)
+            occupancy_start=args.occupancy_start or None,
+            occupancy_end=args.occupancy_end or None)
     if not (args.checkpoint_interval or args.resume):
         return kwargs
     directory = os.path.join(args.results_dir, "checkpoints")

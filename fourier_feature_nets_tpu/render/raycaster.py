@@ -813,7 +813,8 @@ class Raycaster:
             steps_per_call: int = 1,
             occupancy_interval: Optional[int] = None,
             occupancy_samples: int = 48,
-            occupancy_start: Optional[int] = None
+            occupancy_start: Optional[int] = None,
+            occupancy_end: Optional[int] = None
             ) -> Tuple[dict, List[LogEntry]]:
         """Fits the model to the dataset (ray_caster.py:248-377 parity).
 
@@ -861,6 +862,10 @@ class Raycaster:
             occupancy_start: first guided step (default: after the
                 crop curriculum, at least 1000 — early density fields
                 are noise).
+            occupancy_end: when set, restore the dataset's full
+                uniform sampling from this step on (a fine-tune tail
+                that recovers the guided phase's small val-PSNR cost
+                while keeping most of the speedup).
 
         Returns:
             (params, log) — final parameters and LogEntry list.
@@ -935,6 +940,7 @@ class Raycaster:
 
         base_sampler = train_dataset.sampler
         occupancy_active = False
+        occupancy_done = False
         if occupancy_interval:
             if base_sampler.focus_sampling:
                 raise ValueError("occupancy-guided training is "
@@ -1068,10 +1074,24 @@ class Raycaster:
                         checkpointer.save(self.model, params, opt_state,
                                           last, seed)
 
+                    # fine-tune tail: restore the full uniform
+                    # sampling for the final steps
+                    if (occupancy_active and occupancy_end is not None
+                            and last >= occupancy_end):
+                        print("Restoring full sampling for the "
+                              "fine-tune tail...")
+                        train_dataset.sampler = base_sampler
+                        train_step = self._make_train_step(
+                            train_dataset, batch_size, learning_rate,
+                            decay_rate, decay_steps, weight_decay,
+                            mesh, steps_per_call=chunk)
+                        occupancy_active = False
+                        occupancy_done = True
                     # occupancy activation/refresh: due when [first, last]
                     # enters a new occupancy_interval window past the
                     # start (and immediately at activation)
-                    if (occupancy_interval and last >= occupancy_start
+                    elif (occupancy_interval and not occupancy_done
+                            and last >= occupancy_start
                             and train_dataset.mode != Mode.Center
                             and (not occupancy_active
                                  or last // occupancy_interval

@@ -423,3 +423,43 @@ def test_occupancy_guided_training(datasets):
     assert len(swapped["grids"]) >= 2, swapped
     # still converges
     assert log[-1].val_psnr > 14.0, log[-1].val_psnr
+
+
+def test_occupancy_fine_tune_tail(datasets):
+    """With occupancy_end, the base (full-sample) sampler is restored
+    for the final steps while training continues."""
+    from fourier_feature_nets_tpu.render.occupancy_sampler import (
+        OccupancyGridSampler,
+    )
+    train, val = datasets
+    base_sampler = train.sampler
+    model = Voxels(side=16, scale=1.0)
+    caster = ffn.Raycaster(model)
+
+    seen = {}
+
+    class Probe:
+        _interval = 10
+
+        def visualize(self, step, render, act_render):
+            if isinstance(train.sampler, OccupancyGridSampler):
+                seen.setdefault("occ_steps", []).append(step)
+            elif step >= 100:
+                seen.setdefault("tail_steps", []).append(step)
+
+    params, log = caster.fit(model.init(jax.random.PRNGKey(0)), train,
+                             val, batch_size=512, learning_rate=0.05,
+                             num_steps=300, crop_steps=0,
+                             report_interval=150, decay_rate=0.9,
+                             decay_steps=25000, steps_per_call=10,
+                             visualizers=[Probe()],
+                             occupancy_interval=100,
+                             occupancy_samples=16,
+                             occupancy_start=100,
+                             occupancy_end=250)
+    assert train.sampler is base_sampler
+    assert seen["occ_steps"], seen
+    assert max(seen["occ_steps"]) < 250 + 10, seen
+    # the tail really runs on the base sampler
+    assert seen["tail_steps"] and min(seen["tail_steps"]) >= 249, seen
+    assert log[-1].val_psnr > 14.0, log[-1].val_psnr
