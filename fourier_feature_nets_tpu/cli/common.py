@@ -28,9 +28,13 @@ def add_common_train_args(parser):
     parser.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
                         default="float32",
                         help="Matmul dtype for the model body")
-    parser.add_argument("--fused", action="store_true",
-                        help="Use the Pallas fused NeRF kernels for "
-                             "rendering and (single-mesh) training")
+    parser.add_argument("--fused", action="store_true", default=None,
+                        help="Force the Pallas fused NeRF kernels for "
+                             "rendering and training (default: auto — "
+                             "ON for NeRF on TPU, where fused training "
+                             "measured 1.8x over XLA autodiff)")
+    parser.add_argument("--no-fused", dest="fused", action="store_false",
+                        help="Force the XLA autodiff/render path")
     parser.add_argument("--steps-per-call", type=int, default=1,
                         help="Optimization steps per compiled call "
                              "(lax.scan); >1 amortizes dispatch "

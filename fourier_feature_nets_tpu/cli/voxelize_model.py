@@ -34,9 +34,12 @@ def _parse_args(argv=None):
     parser.add_argument("--alpha-threshold", type=float, default=0.3)
     parser.add_argument("--color-space", choices=["YCrCb", "RGB"],
                         default="RGB")
-    parser.add_argument("--fused", action="store_true",
-                        help="Use the fused Pallas NeRF kernel for "
-                        "the sweep")
+    parser.add_argument("--fused", action="store_true", default=None,
+                        help="Force the fused Pallas NeRF kernel for "
+                        "the sweep (default: auto — on for NeRF on "
+                        "TPU)")
+    parser.add_argument("--no-fused", dest="fused", action="store_false",
+                        help="Force the XLA render path")
     return parser.parse_args(argv)
 
 

@@ -6,6 +6,7 @@ from .mesh import (
     data_sharding,
     initialize_distributed,
     make_mesh,
+    put_replicated,
     replicate,
     replicated_sharding,
     shard_rays,
@@ -17,6 +18,7 @@ __all__ = [
     "initialize_distributed",
     "make_mesh",
     "make_shard_map_train_step",
+    "put_replicated",
     "replicate",
     "replicated_sharding",
     "shard_rays",

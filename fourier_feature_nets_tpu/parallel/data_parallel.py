@@ -8,15 +8,26 @@ hand-placed ``jax.lax.pmean`` over the data axis — which documents the
 communication pattern exactly, serves as a numerical cross-check of
 the GSPMD path, and is the natural home for future Pallas collective
 kernels.
+
+It follows the SAME data discipline as the production step
+(render/raycaster.py `_train_data`/`_bind_data`): the sampler/dataset
+per-ray tables ride as a jit-ARGUMENT pytree instead of being closed
+over. Closed-over device arrays are embedded as constants in the
+compile payload — at 800px dataset scale that is hundreds of MB and
+remote TPU runtimes reject the compile (HTTP 413, CLAUDE.md) — and
+they cannot be refreshed (occupancy-guided training) without a
+recompile. ``steps_per_call`` amortizes per-dispatch runtime overhead
+exactly like the production path.
 """
 
 from functools import partial
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from ..utils.optim import adam_update, exponential_lr
-from .mesh import DATA_AXIS
+from .mesh import DATA_AXIS, put_replicated
 
 __all__ = ["make_shard_map_train_step"]
 
@@ -26,13 +37,18 @@ def make_shard_map_train_step(caster, dataset, batch_size: int,
                               decay_steps: int, weight_decay: float,
                               mesh, clip_value: float = 0.1,
                               clip_norm: float = 0.1,
-                              fused: bool = False):
+                              fused: bool = False,
+                              steps_per_call: int = 1):
     """Builds a jitted shard_map training step.
 
-    Each device receives ``batch_size / mesh.size`` rays (the global
-    index batch is sharded along the data axis), computes local
-    gradients, and participates in a single pmean over ICI; the Adam
-    update then runs redundantly-replicated on every device.
+    Each inner step slices the (replicated) epoch permutation into a
+    global ``batch_size`` ray batch; every device takes its own
+    ``batch_size / mesh.size`` contiguous rows (``axis_index`` slab —
+    the same layout GSPMD picks for a batch sharded on the data axis),
+    computes local gradients, and participates in a single pmean over
+    ICI; the Adam update then runs redundantly-replicated on every
+    device. With ``steps_per_call > 1`` that inner step runs under
+    ``lax.scan`` with the step counter/LR schedule advancing per step.
 
     Gradient-clipping caveat: value clipping commutes with pmean only
     approximately; to keep *exact* torch parity the local grads are
@@ -46,38 +62,79 @@ def make_shard_map_train_step(caster, dataset, batch_size: int,
     one whole kernel per device).
 
     Returns:
-        step(params, opt_state, idx, step_no, rng) ->
-        (params, opt_state, loss) where ``idx`` is the (global)
-        ray-index batch, sharded on the data axis.
+        ``step(params, opt_state, perm, offset, step_no, rng) ->
+        (params, opt_state, loss)`` where ``perm`` is the replicated
+        epoch ray-index permutation and ``offset`` the first batch's
+        start. ``step.refresh()`` re-collects the dataset/sampler
+        device arrays (e.g. a refreshed occupancy grid) with ZERO
+        recompiles — they are arguments, not constants.
     """
     sampler = dataset.sampler
     stratified = sampler.stratified
+    if batch_size % mesh.size:
+        raise ValueError(f"batch_size {batch_size} must divide evenly "
+                         f"over the {mesh.size}-device mesh")
+    local_batch = batch_size // mesh.size
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(), P(), P(DATA_AXIS), P(), P()),
+             in_specs=(P(), P(), P(), P(), P(), P(), P()),
              out_specs=(P(), P(), P()),
              check_vma=False)
-    def step(params, opt_state, idx, step_no, rng):
-        step_rng = jax.random.fold_in(rng, step_no) if stratified else None
-        rays = sampler.sample(idx, step_no, step_rng)
+    def device_steps(params, opt_state, perm, offset, step_no, rng, data):
+        sampler_t, dataset_t = caster._bind_data(dataset, data)
+        shard_start = jax.lax.axis_index(DATA_AXIS) * local_batch
+        modulo = max(perm.shape[0] - batch_size + 1, 1)
 
-        def loss_fn(p):
-            if fused:
-                render = caster._train_forward(p, rays)
-            else:
-                render = caster.render(p, rays, include_depth=False)
-            return dataset.loss(idx, render)
+        def one_step(carry, k):
+            params, opt_state = carry
+            step_k = step_no + k
+            k_offset = (offset + k * batch_size) % modulo
+            idx = jax.lax.dynamic_slice(perm, (k_offset + shard_start,),
+                                        (local_batch,))
+            step_rng = (jax.random.fold_in(rng, step_k) if stratified
+                        else None)
+            rays = sampler_t.sample(idx, step_k, step_rng)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        # all-reduce over ICI: mean of per-device loss/grads
-        loss = jax.lax.pmean(loss, DATA_AXIS)
-        grads = jax.tree.map(lambda g: jax.lax.pmean(g, DATA_AXIS), grads)
+            def loss_fn(p):
+                if fused:
+                    render = caster._train_forward(p, rays)
+                else:
+                    render = caster.render(p, rays, include_depth=False)
+                return dataset_t.loss(idx, render)
 
-        lr = exponential_lr(learning_rate, step_no, decay_rate,
-                            decay_steps)
-        params, opt_state = adam_update(
-            grads, opt_state, params, lr, weight_decay=weight_decay,
-            clip_value=clip_value, clip_norm=clip_norm)
-        return params, opt_state, loss
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            # all-reduce over ICI: mean of per-device loss/grads
+            loss = jax.lax.pmean(loss, DATA_AXIS)
+            grads = jax.tree.map(lambda g: jax.lax.pmean(g, DATA_AXIS),
+                                 grads)
 
-    return jax.jit(step, donate_argnums=(0, 1))
+            lr = exponential_lr(learning_rate, step_k, decay_rate,
+                                decay_steps)
+            params, opt_state = adam_update(
+                grads, opt_state, params, lr, weight_decay=weight_decay,
+                clip_value=clip_value, clip_norm=clip_norm)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            one_step, (params, opt_state),
+            jnp.arange(steps_per_call, dtype=jnp.int32))
+        return params, opt_state, losses[-1]
+
+    jitted = jax.jit(device_steps, donate_argnums=(0, 1))
+    state = {}
+
+    def refresh():
+        """Re-collects the dataset/sampler device arrays (same-shape
+        swaps cost no recompile) and replicates them over the mesh
+        (multi-host aware)."""
+        state["data"] = put_replicated(caster._train_data(dataset),
+                                       mesh)
+
+    refresh()
+
+    def step(params, opt_state, perm, offset, step_no, rng):
+        return jitted(params, opt_state, perm, offset, step_no, rng,
+                      state["data"])
+
+    step.refresh = refresh
+    return step

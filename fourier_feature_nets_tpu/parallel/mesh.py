@@ -16,7 +16,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "replicate", "shard_rays", "data_sharding",
-           "replicated_sharding"]
+           "replicated_sharding", "put_replicated",
+           "initialize_distributed"]
 
 DATA_AXIS = "data"
 
@@ -49,14 +50,71 @@ def shard_rays(array, mesh: Mesh, axis: str = DATA_AXIS):
     return jax.device_put(array, NamedSharding(mesh, P(axis)))
 
 
-def initialize_distributed():
-    """Multi-host initialization (jax.distributed) when running on a
-    multi-host TPU slice; a no-op in single-process environments.
+def put_replicated(tree, mesh: Mesh):
+    """Replicates host-identical values onto every device of the mesh,
+    in both single- and multi-process environments.
+
+    Single-process ``device_put`` cannot target a sharding that spans
+    non-addressable devices; on a multi-host mesh each process instead
+    contributes its local copy via
+    ``jax.make_array_from_process_local_data`` (the values must be
+    identical across hosts — true for params, optimizer state, the
+    epoch permutation and the sampler/dataset tables, which every host
+    derives from the same seed/files). Addressability comes from the
+    sharding itself, not ``jax.process_count()``: the latter consults
+    the DEFAULT backend, which may be a different (single-process)
+    platform than the mesh's."""
+    sharding = replicated_sharding(mesh)
+    if sharding.is_fully_addressable:
+        return jax.device_put(tree, sharding)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), tree)
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None,
+                           local_device_count: Optional[int] = None
+                           ) -> bool:
+    """Multi-host bootstrap (SURVEY.md §2.2 DCN mandate).
 
     The TPU-native replacement for a NCCL/MPI bootstrap: JAX's
-    coordination service wires hosts over DCN, and all device-level
-    communication is XLA collectives over ICI.
+    coordination service wires hosts over DCN
+    (``jax.distributed.initialize``), after which ``jax.devices()``
+    is the GLOBAL device list and all device-level communication is
+    XLA collectives (ICI within a slice, DCN across hosts).
+
+    Must be called before any other JAX API touches a backend.
+
+    Args:
+        coordinator_address: ``host:port`` of process 0. Defaults to
+            ``$COORDINATOR_ADDRESS``; when neither is set this is a
+            no-op (single-process run) returning False.
+        num_processes / process_id: explicit topology; defaults come
+            from the environment (``JAX_NUM_PROCESSES`` /
+            ``JAX_PROCESS_ID``, or the TPU metadata on Cloud TPU).
+        local_device_count: optionally force this many virtual CPU
+            devices per process (test rigs; appends to XLA_FLAGS).
+
+    Returns:
+        True when the distributed runtime was initialized.
     """
     import os
-    if "COORDINATOR_ADDRESS" in os.environ:
-        jax.distributed.initialize()
+    if local_device_count:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count"
+              f"={local_device_count}")
+    coordinator_address = (coordinator_address
+                          or os.environ.get("COORDINATOR_ADDRESS"))
+    if coordinator_address is None:
+        return False
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True

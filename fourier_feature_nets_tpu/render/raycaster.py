@@ -29,6 +29,15 @@ from ..utils.progress import LogEntry
 __all__ = ["Raycaster"]
 
 
+def _on_tpu() -> bool:
+    """Whether compute dispatches to a TPU backend (honoring an
+    explicit ``jax_default_device`` override, e.g. CPU tests)."""
+    default_device = jax.config.jax_default_device
+    if default_device is not None:
+        return default_device.platform == "tpu"
+    return jax.default_backend() == "tpu"
+
+
 def _composite(color_o: jnp.ndarray, t_values: jnp.ndarray,
                include_depth: bool) -> RenderResult:
     """Emission-absorption compositing of raw model logits
@@ -58,7 +67,8 @@ class Raycaster:
     fits the field to a ray dataset."""
 
     def __init__(self, model: Model, compute_dtype=None,
-                 fused: bool = False, fused_train: bool = False,
+                 fused: Optional[bool] = None,
+                 fused_train: Optional[bool] = None,
                  remat: bool = False):
         """Constructor.
 
@@ -68,13 +78,20 @@ class Raycaster:
                 body (e.g. jnp.bfloat16 for MXU speed); None keeps
                 full f32 parity.
             fused: route NeRF *inference* renders through the Pallas
-                fused kernel (ops/fused_nerf.py) — ~2x over XLA.
+                fused kernel (ops/fused_nerf.py) — measured ~2x over
+                XLA on v5e. Default None = auto: ON for NeRF models
+                when compute dispatches to TPU, OFF elsewhere (the
+                kernel is TPU Mosaic; CPU runs would need interpret
+                mode).
             fused_train: route NeRF *training* forwards through the
                 custom-VJP recompute-backward kernel
-                (ops/fused_nerf_train.py). Off by default: at typical
-                ray-batch sizes the XLA autodiff step is faster on
-                v5e; the fused path wins when activation memory, not
-                time, is the binding constraint.
+                (ops/fused_nerf_train.py). Default None = auto: ON
+                for NeRF-on-TPU — measured 6.03 ms/step fused vs
+                10.78 ms/step XLA autodiff (1.8x) at the flagship
+                batch (1024 rays x 128 samples, v5e,
+                docs/RESULTS.md); the fused advantage grows when
+                activation memory binds. Pass False to force the XLA
+                autodiff path (e.g. for f64-grade numerics checks).
             remat: rematerialize the model forward in the backward
                 pass (jax.checkpoint) on the XLA training path —
                 trades FLOPs for activation memory, enabling larger
@@ -85,21 +102,30 @@ class Raycaster:
         self.compute_dtype = compute_dtype
         self._render_fns = {}
         self._fused_weights = None
-        self._fused_params_id = None
-        self.fused = fused and model.model_type == "nerf"
-        self.fused_train = fused_train and model.model_type == "nerf"
+        # identity key via a STRONG reference: an id() key would go
+        # stale when CPython reuses a freed params pytree's address
+        # (render(A), drop A, allocate same-shape B at A's address)
+        self._fused_params_src = None
+        is_nerf = model.model_type == "nerf"
+        if fused is None:
+            fused = is_nerf and _on_tpu()
+        if fused_train is None:
+            fused_train = is_nerf and _on_tpu()
+        self.fused = fused and is_nerf
+        self.fused_train = fused_train and is_nerf
 
     def _get_fused_weights(self, params):
         """Host-side fused-weight preparation, cached per params
         object (params are immutable pytrees; training produces new
-        objects every step)."""
+        objects every step). The cache holds the source params alive
+        so object identity is a sound key."""
         from ..ops.fused_nerf import prepare_fused_nerf
-        if self._fused_params_id != id(params):
+        if self._fused_params_src is not params:
             dtype = (self.compute_dtype if self.compute_dtype is not None
                      else jnp.float32)
             self._fused_weights = prepare_fused_nerf(self.model, params,
                                                      dtype=dtype)
-            self._fused_params_id = id(params)
+            self._fused_params_src = params
         return self._fused_weights
 
     # ------------------------------------------------------------------
@@ -735,8 +761,9 @@ class Raycaster:
             if mesh is not None:
                 # the tables were previously jit constants
                 # (= replicated); as arguments they must be
-                # replicated explicitly
-                data = jax.device_put(data, NamedSharding(mesh, P()))
+                # replicated explicitly (multi-host aware)
+                from ..parallel.mesh import put_replicated
+                data = put_replicated(data, mesh)
             state["data"] = data
 
         refresh()

@@ -109,3 +109,38 @@ class TestFusedRaycaster:
             params, samples, 16, include_depth=True)
         np.testing.assert_allclose(fused.color, plain.color, atol=1e-3)
         np.testing.assert_allclose(fused.alpha, plain.alpha, atol=1e-3)
+
+    def test_weight_cache_keyed_by_object_identity(self, nerf):
+        """Regression (VERDICT r2): the fused-weight cache was keyed on
+        id(params); CPython reuses freed addresses for same-shape
+        pytrees, so render(A) -> drop A -> render(B) could silently
+        return A's weights. The cache must key on object identity AND
+        hold the params alive so a freed-address collision cannot
+        alias it."""
+        model, params = nerf
+        rc = ffn.Raycaster(model, fused=True, fused_train=False)
+        p1 = jax.tree.map(jnp.asarray, params)
+        w1 = rc._get_fused_weights(p1)
+        assert rc._get_fused_weights(p1) is w1  # same object: cache hit
+        # the cache must hold a strong reference — this is what makes
+        # an id() collision with a *freed* params impossible
+        assert rc._fused_params_src is p1
+
+        stale_id = id(p1)
+        del p1
+        p2 = None
+        for _ in range(100):
+            # under the old id()-keyed cache the freed address is
+            # typically reclaimed within a few allocations, poisoning
+            # the lookup; with the strong-ref cache p1 stays alive and
+            # no collision can occur
+            candidate = jax.tree.map(lambda x: x * 2.0, params)
+            p2 = candidate
+            if id(candidate) == stale_id:
+                break
+        w2 = rc._get_fused_weights(p2)
+        assert w2 is not w1
+        l1 = jax.tree.leaves(w1._asdict())
+        l2 = jax.tree.leaves(w2._asdict())
+        assert any(not np.allclose(np.asarray(a), np.asarray(b))
+                   for a, b in zip(l1, l2))

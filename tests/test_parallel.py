@@ -11,7 +11,6 @@ from fourier_feature_nets_tpu.parallel import (
     make_mesh,
     make_shard_map_train_step,
     replicate,
-    shard_rays,
 )
 from fourier_feature_nets_tpu.datasets.synthetic import (
     generate_synthetic_dataset,
@@ -57,13 +56,13 @@ def test_shard_map_step_matches_single_device(scene):
         adam_init(params), idx, jnp.asarray(0, jnp.int32),
         jnp.asarray(0, jnp.int32), jax.random.PRNGKey(0))
 
-    # shard_map step
+    # shard_map step (argument-fed: perm + offset, like the GSPMD path)
     dp_step = make_shard_map_train_step(caster, scene, 128, 0.01, 0.9,
                                         25000, 0.0, mesh)
     params_r = replicate(jax.tree.map(jnp.copy, params), mesh)
     opt_r = replicate(opt_state, mesh)
-    idx_s = shard_rays(idx, mesh)
-    p2, _, loss2 = dp_step(params_r, opt_r, idx_s,
+    p2, _, loss2 = dp_step(params_r, opt_r, idx,
+                           jnp.asarray(0, jnp.int32),
                            jnp.asarray(0, jnp.int32),
                            jax.random.PRNGKey(0))
 
@@ -124,9 +123,9 @@ def test_shard_map_fused_train_step(scene):
                                         250000, 0.0, mesh, fused=True)
     params_r = replicate(jax.tree.map(jnp.copy, params), mesh)
     opt_r = replicate(adam_init(params), mesh)
-    idx = shard_rays(jnp.asarray(scene.index_pool()[:128]
-                                 .astype(np.int32)), mesh)
+    idx = jnp.asarray(scene.index_pool()[:128].astype(np.int32))
     p, o, loss = dp_step(params_r, opt_r, idx,
+                         jnp.asarray(0, jnp.int32),
                          jnp.asarray(0, jnp.int32),
                          jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
@@ -137,6 +136,7 @@ def test_shard_map_fused_train_step(scene):
     p2, o2, loss2 = dp_plain(replicate(jax.tree.map(jnp.copy, params),
                                        mesh),
                              replicate(adam_init(params), mesh), idx,
+                             jnp.asarray(0, jnp.int32),
                              jnp.asarray(0, jnp.int32),
                              jax.random.PRNGKey(0))
     assert float(loss) == pytest.approx(float(loss2), rel=1e-3)
@@ -173,8 +173,8 @@ def test_stratified_rng_agrees_across_dp_paths(tmp_path):
     dp_step = make_shard_map_train_step(caster, scene, batch, 0.01, 0.9,
                                         25000, 0.0, mesh)
     _, _, loss2 = dp_step(replicate(jax.tree.map(jnp.copy, params), mesh),
-                          replicate(adam_init(params), mesh),
-                          shard_rays(perm[:batch], mesh),
+                          replicate(adam_init(params), mesh), perm,
+                          jnp.asarray(0, jnp.int32),
                           jnp.asarray(0, jnp.int32), jax.random.PRNGKey(2))
 
     # single device, same global batch: also identical
@@ -187,6 +187,64 @@ def test_stratified_rng_agrees_across_dp_paths(tmp_path):
 
     assert float(loss1) == pytest.approx(float(loss2), rel=1e-6)
     assert float(loss1) == pytest.approx(float(loss3), rel=1e-6)
+
+
+def test_shard_map_steps_per_call_and_refresh(scene):
+    """The explicit-collective step follows the production data
+    discipline (VERDICT r2 item 4): per-ray tables ride as jit
+    arguments (refresh() swaps them with zero recompiles — proven by
+    the loss responding to a table swap the trace never saw), and
+    steps_per_call>1 scans multiple optimization steps per dispatch,
+    matching sequential single-call steps."""
+    mesh = make_mesh(jax.devices("cpu"))
+    model = Voxels(side=8, scale=1.0)
+    caster = ffn.Raycaster(model)
+    params = model.init(jax.random.PRNGKey(0))
+
+    pool = jnp.asarray(scene.index_pool().astype(np.int32))
+    perm = jax.random.permutation(jax.random.PRNGKey(1), pool)
+    zero = jnp.asarray(0, jnp.int32)
+    rng = jax.random.PRNGKey(0)
+
+    # 3 steps in ONE call vs 3 sequential calls
+    multi = make_shard_map_train_step(caster, scene, 64, 0.01, 0.9,
+                                      25000, 0.0, mesh,
+                                      steps_per_call=3)
+    p1, o1, _ = multi(replicate(jax.tree.map(jnp.copy, params), mesh),
+                      replicate(adam_init(params), mesh), perm, zero,
+                      zero, rng)
+
+    single = make_shard_map_train_step(caster, scene, 64, 0.01, 0.9,
+                                       25000, 0.0, mesh)
+    p2 = replicate(jax.tree.map(jnp.copy, params), mesh)
+    o2 = replicate(adam_init(params), mesh)
+    for k in range(3):
+        p2, o2, loss_ref = single(p2, o2, perm,
+                                  jnp.asarray(k * 64, jnp.int32),
+                                  jnp.asarray(k, jnp.int32), rng)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    # refresh(): swap a device table the compiled step has never seen
+    # — the loss must respond, proving the tables are ARGUMENTS (a
+    # closed-over constant would keep returning the traced values)
+    _, _, loss_before = single(replicate(jax.tree.map(jnp.copy, params),
+                                         mesh),
+                               replicate(adam_init(params), mesh),
+                               perm, zero, zero, rng)
+    original_colors = scene.colors
+    try:
+        scene.colors = jnp.ones_like(original_colors)
+        single.refresh()
+        _, _, loss_after = single(
+            replicate(jax.tree.map(jnp.copy, params), mesh),
+            replicate(adam_init(params), mesh), perm, zero, zero, rng)
+    finally:
+        scene.colors = original_colors
+        single.refresh()
+    assert float(loss_before) != pytest.approx(float(loss_after),
+                                               rel=1e-3)
 
 
 def test_fit_routes_fused_kernel_under_mesh(scene):
