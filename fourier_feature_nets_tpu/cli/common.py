@@ -62,6 +62,16 @@ def add_common_train_args(parser):
                         help="Restore full uniform sampling from this "
                              "step on (fine-tune tail; 0 keeps "
                              "occupancy until the end)")
+    parser.add_argument("--occupancy-empty-weight", type=float,
+                        default=0.1,
+                        help="Relative sample mass kept in cells the "
+                             "live-model grid marks empty (recovery "
+                             "budget for threshold mistakes)")
+    parser.add_argument("--occupancy-mix", type=int, default=0,
+                        help="Full-sampling steps appended after each "
+                             "guided chunk (anchors the field to the "
+                             "uniform validation quadrature; 0 "
+                             "disables)")
 
 
 def fit_kwargs(args):
@@ -72,7 +82,9 @@ def fit_kwargs(args):
             occupancy_interval=args.occupancy_interval,
             occupancy_samples=args.occupancy_samples,
             occupancy_start=args.occupancy_start or None,
-            occupancy_end=args.occupancy_end or None)
+            occupancy_end=args.occupancy_end or None,
+            occupancy_empty_weight=args.occupancy_empty_weight,
+            occupancy_mix=args.occupancy_mix)
     if not (args.checkpoint_interval or args.resume):
         return kwargs
     directory = os.path.join(args.results_dir, "checkpoints")

@@ -78,6 +78,40 @@ def _parse_args(argv=None):
     return parser.parse_args(argv)
 
 
+def build_render_sampler(args, model, params, cameras, bounds):
+    """Builds the render-time sampler from the shared CLI flags
+    (--density-grid / --octree / focus sampling) — used by both the
+    orbit renderer and the render server (cli/serve.py)."""
+    if args.density_grid:
+        # occupancy from the model's own density field (one 64^3
+        # model sweep) — best quality-per-sample for volumetric
+        # content and needs no octree file (see
+        # density_grid_from_model)
+        from ..render.occupancy_sampler import OccupancyGridSampler
+        return OccupancyGridSampler.from_model(
+            model, params, cameras, args.num_samples,
+            alpha_threshold=args.density_threshold, bounds=bounds)
+    if args.octree:
+        from ..octree import OcTree
+        tree = OcTree.load(args.octree)
+        if args.octree_mode == "occupancy":
+            from ..render.occupancy_sampler import OccupancyGridSampler
+            return OccupancyGridSampler(tree, cameras,
+                                        args.num_samples,
+                                        bounds=bounds)
+        from ..render import OctreeRaySampler
+        return OctreeRaySampler(tree, cameras, args.num_samples,
+                                bounds=bounds)
+    if args.opacity_model:
+        opacity_model, opacity_params = load_model(args.opacity_model)
+    elif not args.no_focus:
+        opacity_model, opacity_params = model, params
+    else:
+        opacity_model = opacity_params = None
+    return RaySampler(bounds, cameras, args.num_samples, False,
+                      opacity_model, opacity_params, args.batch_size)
+
+
 def main(argv=None):
     import cv2
     import jax.numpy as jnp
@@ -96,38 +130,8 @@ def main(argv=None):
     raycaster = Raycaster(model, compute_dtype=compute_dtype,
                           fused=model.model_type == "nerf")
 
-    if args.density_grid:
-        # occupancy from the model's own density field (one 64^3
-        # model sweep) — best quality-per-sample for volumetric
-        # content and needs no octree file (see
-        # density_grid_from_model)
-        from ..render.occupancy_sampler import OccupancyGridSampler
-        sampler = OccupancyGridSampler.from_model(
-            model, params, orbit_cameras, args.num_samples,
-            alpha_threshold=args.density_threshold, bounds=bounds)
-    elif args.octree:
-        from ..octree import OcTree
-        tree = OcTree.load(args.octree)
-        if args.octree_mode == "occupancy":
-            from ..render.occupancy_sampler import OccupancyGridSampler
-            sampler = OccupancyGridSampler(tree, orbit_cameras,
-                                           args.num_samples,
-                                           bounds=bounds)
-        else:
-            from ..render import OctreeRaySampler
-            sampler = OctreeRaySampler(tree, orbit_cameras,
-                                       args.num_samples, bounds=bounds)
-    else:
-        if args.opacity_model:
-            opacity_model, opacity_params = load_model(
-                args.opacity_model)
-        elif not args.no_focus:
-            opacity_model, opacity_params = model, params
-        else:
-            opacity_model = opacity_params = None
-        sampler = RaySampler(bounds, orbit_cameras, args.num_samples,
-                             False, opacity_model, opacity_params,
-                             args.batch_size)
+    sampler = build_render_sampler(args, model, params, orbit_cameras,
+                                   bounds)
 
     os.makedirs(args.output_dir, exist_ok=True)
     progress = ETABar("Rendering", max=args.num_frames)

@@ -8,7 +8,8 @@ from .occupancy_sampler import (
 from .octree_sampler import OctreeRaySampler
 from .ray_sampler import RaySampler, RaySamples
 from .raycaster import Raycaster
+from .server import RenderServer
 
 __all__ = ["OccupancyGridSampler", "OctreeRaySampler", "RaySampler",
-           "RaySamples", "Raycaster", "density_grid_from_model",
-           "occupancy_grid_from_tree"]
+           "RaySamples", "Raycaster", "RenderServer",
+           "density_grid_from_model", "occupancy_grid_from_tree"]

@@ -313,10 +313,12 @@ class Raycaster:
         return sampler.to_image(camera, pred.color, color_space)
 
     def _frame_fn(self, sampler: RaySampler, chunk_size: int,
-                  cull: bool = False, mesh=None):
+                  cull: bool = False, mesh=None,
+                  probe_subsample: int = 1):
         """Builds (and caches) the single-dispatch frame renderer for
         one sampler geometry."""
         key = ("frame", id(sampler), chunk_size, self.fused, cull,
+               probe_subsample,
                None if mesh is None else tuple(mesh.devices.flat))
         if key not in self._render_fns:
             import copy
@@ -410,18 +412,59 @@ class Raycaster:
 
             @jax.jit
             def frame_fn_culled(model_arg, camera, geometry):
-                """Empty-space culling: probe ALL rays once (cheap),
+                """Empty-space culling: probe the rays once (cheap),
                 partition hit-rays first, run the model only on chunks
                 that contain hits. Rays whose probes saw no occupied
                 cell integrate (conservatively dilated) empty space
-                and render as background without a model query."""
+                and render as background without a model query.
+
+                With ``probe_subsample`` s > 1 only every s-th pixel
+                in each image axis is probed (s^2 fewer probes) and
+                the coarse hit raster is 3x3 max-dilated before
+                upsampling — a ray is culled only when ITS probe and
+                every neighboring coarse probe miss. Occupancy cells
+                (64^3 over the volume) are tens of pixels wide at
+                flagship resolution while adjacent rays diverge by
+                ~s pixels, so the dilated coarse test is a
+                conservative superset of the per-ray test (round-3
+                measurement: identical hit sets on the bench scene,
+                probe phase ~4x cheaper at s=2)."""
                 traced = make_sampler(geometry)
 
                 offsets = jnp.arange(total, dtype=jnp.int32) % rays_per_cam
-                starts, dirs, near, far, valid = \
-                    traced.camera_ray_geometry(camera, offsets)
-                _, _, hit = traced._probe_cdf_geometry(starts, dirs,
-                                                       near, far)
+                if probe_subsample > 1:
+                    s = probe_subsample
+                    coarse_h = -(-height // s)
+                    coarse_w = -(-width // s)
+                    cy = jnp.minimum(jnp.arange(coarse_h) * s,
+                                     height - 1)
+                    cx = jnp.minimum(jnp.arange(coarse_w) * s,
+                                     width - 1)
+                    coarse_off = (cy[:, None] * width
+                                  + cx[None, :]).reshape(-1)
+                    coarse_off = coarse_off.astype(jnp.int32)
+                    cs, cd, cn, cf, cvalid = \
+                        traced.camera_ray_geometry(camera, coarse_off)
+                    _, _, hit_c = traced._probe_cdf_geometry(
+                        cs, cd, cn, cf)
+                    grid = (hit_c & cvalid).reshape(coarse_h, coarse_w)
+                    padded = jnp.pad(grid, 1)
+                    rows = (padded[:-2, :] | padded[1:-1, :]
+                            | padded[2:, :])
+                    dilated = (rows[:, :-2] | rows[:, 1:-1]
+                               | rows[:, 2:])
+                    fine = jnp.repeat(jnp.repeat(dilated, s, axis=0),
+                                      s, axis=1)[:height, :width]
+                    hit_fine = fine.reshape(-1)
+                    reps = -(-total // rays_per_cam)
+                    hit = jnp.tile(hit_fine, reps)[:total]
+                    _, _, _, _, valid = traced.camera_ray_geometry(
+                        camera, offsets)
+                else:
+                    starts, dirs, near, far, valid = \
+                        traced.camera_ray_geometry(camera, offsets)
+                    _, _, hit = traced._probe_cdf_geometry(
+                        starts, dirs, near, far)
                 hit = hit & valid
                 num_hit = jnp.sum(hit.astype(jnp.int32))
                 # stable partition: hit rays keep their order up front
@@ -463,7 +506,8 @@ class Raycaster:
                      chunk_size: int = 16384,
                      color_space: str = "RGB",
                      cull_empty: bool = True,
-                     mesh=None) -> np.ndarray:
+                     mesh=None,
+                     probe_subsample: int = 2) -> np.ndarray:
         """Renders a full camera frame in ONE device dispatch.
 
         ``render_image`` (the parity path, ray_caster.py:140-159)
@@ -491,7 +535,8 @@ class Raycaster:
         Pallas) render per device per chunk, rays sharded over ICI.
         """
         image = np.asarray(self.render_frame_async(
-            params, sampler, camera, chunk_size, cull_empty, mesh))
+            params, sampler, camera, chunk_size, cull_empty, mesh,
+            probe_subsample))
         if color_space == "YCrCb":
             import cv2
             image = cv2.cvtColor(image, cv2.COLOR_YCrCb2RGB)
@@ -500,17 +545,22 @@ class Raycaster:
     def render_frame_async(self, params, sampler: RaySampler,
                            camera: int, chunk_size: int = 16384,
                            cull_empty: bool = True,
-                           mesh=None) -> jnp.ndarray:
+                           mesh=None,
+                           probe_subsample: int = 2) -> jnp.ndarray:
         """Dispatches one frame and returns the DEVICE buffer without
         blocking — callers rendering sequences overlap frame f+1's
         compute with frame f's host transfer by dispatching first and
-        converting previous results afterwards (see cli/orbit_video)."""
+        converting previous results afterwards (see cli/orbit_video).
+
+        ``probe_subsample``: cull-probe pixel stride (see
+        ``_frame_fn``; 1 = probe every ray, 2 = default coarse raster
+        with conservative 3x3 dilation)."""
         if mesh is not None:
             # per-device chunk rows must tile evenly
             chunk_size = -(-chunk_size // mesh.size) * mesh.size
         cull = cull_empty and hasattr(sampler, "probe_cdf")
         frame_fn, geometry = self._frame_fn(sampler, chunk_size, cull,
-                                            mesh)
+                                            mesh, probe_subsample)
         model_arg = (self._get_fused_weights(params) if self.fused
                      else params)
         camera = jnp.asarray(camera % sampler.num_cameras, jnp.int32)
@@ -841,7 +891,9 @@ class Raycaster:
             occupancy_interval: Optional[int] = None,
             occupancy_samples: int = 48,
             occupancy_start: Optional[int] = None,
-            occupancy_end: Optional[int] = None
+            occupancy_end: Optional[int] = None,
+            occupancy_empty_weight: float = 0.1,
+            occupancy_mix: int = 0
             ) -> Tuple[dict, List[LogEntry]]:
         """Fits the model to the dataset (ray_caster.py:248-377 parity).
 
@@ -893,6 +945,24 @@ class Raycaster:
                 uniform sampling from this step on (a fine-tune tail
                 that recovers the guided phase's small val-PSNR cost
                 while keeping most of the speedup).
+            occupancy_empty_weight: relative CDF mass of probes the
+                grid marks empty. During training the grid comes from
+                the LIVE, still-changing model, so cells it wrongly
+                thresholds empty must keep residual samples or the
+                field can never recover content there — see the
+                round-3 empty-weight A/B in docs/RESULTS.md
+                (the octree-mode ctor default is 1e-2; training
+                defaults to the from_model guidance of 0.1).
+            occupancy_mix: full-sampling steps appended after each
+                occupancy chunk (``steps_per_call`` guided steps,
+                then this many steps at the dataset's original
+                uniform sampling through a second compiled step).
+                Anchors the field to the validation quadrature
+                throughout the guided phase instead of only in a
+                fine-tune tail — the round-3 A/B measured the
+                guided-phase quality gap to be a steady-state effect
+                of the concentrated 48-sample operator, not an
+                early-training one (docs/RESULTS.md).
 
         Returns:
             (params, log) — final parameters and LogEntry list.
@@ -968,6 +1038,7 @@ class Raycaster:
         base_sampler = train_dataset.sampler
         occupancy_active = False
         occupancy_done = False
+        mix_step = None
         if occupancy_interval:
             if base_sampler.focus_sampling:
                 raise ValueError("occupancy-guided training is "
@@ -979,7 +1050,7 @@ class Raycaster:
         def update_occupancy(last):
             """Swaps in (first call, one recompile) or refreshes
             (zero recompiles) the density-grid training sampler."""
-            nonlocal train_step, occupancy_active
+            nonlocal train_step, occupancy_active, mix_step
             from .occupancy_sampler import (
                 OccupancyGridSampler,
                 density_grid_from_model,
@@ -989,12 +1060,22 @@ class Raycaster:
                                            scale=scale)
             if not occupancy_active:
                 print("Enabling occupancy-guided sampling "
-                      f"({occupancy_samples} samples/ray)...")
+                      f"({occupancy_samples} samples/ray"
+                      + (f", {occupancy_mix} full steps/chunk"
+                         if occupancy_mix else "") + ")...")
+                if occupancy_mix and mix_step is None:
+                    # full-sampling anchor step, built while the BASE
+                    # sampler is still installed on the dataset
+                    mix_step = self._make_train_step(
+                        train_dataset, batch_size, learning_rate,
+                        decay_rate, decay_steps, weight_decay, mesh,
+                        steps_per_call=occupancy_mix)
                 occ = OccupancyGridSampler(
                     None, base_sampler.cameras, occupancy_samples,
                     stratified=base_sampler.stratified,
                     bounds=base_sampler.bounds, occupancy_grid=grid,
-                    grid_scale=scale)
+                    grid_scale=scale,
+                    empty_weight=occupancy_empty_weight)
                 # same cameras + bounds => identical per-ray tables;
                 # share the base sampler's instead of rebuilding
                 # (~0.5 GB + upload at 800px scale)
@@ -1038,6 +1119,20 @@ class Raycaster:
                     # `last` and `step` is only ever last + 1
                     first, last = step, step + chunk - 1
                     step = last + 1
+                    if occupancy_active and mix_step is not None:
+                        # quadrature anchor: a few full-sampling steps
+                        # through the BASE sampler after each guided
+                        # chunk (rays continue within the epoch
+                        # permutation, wrapping like the chunk scan)
+                        modulo = max(len(pool) - batch_size + 1, 1)
+                        mix_offset = ((batch_num + chunk)
+                                      * batch_size) % modulo
+                        params, opt_state, loss = mix_step(
+                            params, opt_state, perm,
+                            jnp.asarray(mix_offset, jnp.int32),
+                            jnp.asarray(step, jnp.int32), strat_key)
+                        last = step + occupancy_mix - 1
+                        step = last + 1
 
                     if chunk == 1:
                         report_due = (last < 10

@@ -1,0 +1,215 @@
+"""Persistent render server.
+
+The reference's only batch render surface is orbit_video.py (frames to
+PNG files, orbit_video.py:84-92). This module keeps a trained model
+RESIDENT on the accelerator and serves frame requests over HTTP — the
+serving shape the single-dispatch `render_frame` path was built for:
+device-held geometry, one compile for every camera of a rig, and
+`render_frame_async` pipelining so the accelerator computes frame f+1
+while frame f crosses the host boundary and encodes.
+
+Endpoints (stdlib http.server, thread-per-request; device work is
+serialized by an internal lock):
+
+- ``GET /info``                       — JSON rig/model description
+- ``GET /frame?camera=i&format=png``  — one frame (png/jpg/raw u8)
+- ``GET /stream.mjpeg?start=0&count=N&loop=1`` — multipart MJPEG
+  stream rendered with async pipelining (steady-state throughput)
+- ``GET /stats``                      — JSON latency histogram +
+  percentiles over the last 4096 frames
+"""
+
+import json
+import threading
+import time
+from collections import deque
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+__all__ = ["RenderServer", "serve"]
+
+
+class RenderServer:
+    """Model-resident frame renderer with latency accounting."""
+
+    def __init__(self, raycaster, params, sampler,
+                 chunk_size: int = 16384, cull_empty: bool = True,
+                 mesh=None):
+        self.raycaster = raycaster
+        self.params = params
+        self.sampler = sampler
+        self.chunk_size = chunk_size
+        self.cull_empty = cull_empty
+        self.mesh = mesh
+        self.num_cameras = sampler.num_cameras
+        self.resolution = (sampler.image_height, sampler.image_width)
+        self._lock = threading.Lock()
+        self._latencies = deque(maxlen=4096)
+
+    # ------------------------------------------------------------------
+
+    def _dispatch(self, camera: int):
+        return self.raycaster.render_frame_async(
+            self.params, self.sampler, camera,
+            chunk_size=self.chunk_size, cull_empty=self.cull_empty,
+            mesh=self.mesh)
+
+    def warmup(self) -> float:
+        """Compiles the frame executable (first call is slow); returns
+        the warmup seconds."""
+        start = time.perf_counter()
+        with self._lock:
+            np.asarray(self._dispatch(0))
+        return time.perf_counter() - start
+
+    def frame(self, camera: int) -> np.ndarray:
+        """Renders one frame synchronously; records latency."""
+        with self._lock:
+            start = time.perf_counter()
+            image = np.asarray(self._dispatch(camera))
+            self._latencies.append(time.perf_counter() - start)
+        return image
+
+    def frames(self, cameras):
+        """Pipelined frame generator: frame f+1 is dispatched before
+        frame f is fetched, overlapping device compute with the host
+        transfer/encode of the previous frame. Per-frame latency is
+        recorded at steady state (dispatch-to-dispatch)."""
+        with self._lock:
+            pending = None
+            last = None
+            for camera in cameras:
+                buffer = self._dispatch(camera)
+                if pending is not None:
+                    image = np.asarray(pending)
+                    now = time.perf_counter()
+                    self._latencies.append(now - last)
+                    last = now
+                    yield image
+                else:
+                    last = time.perf_counter()
+                pending = buffer
+            if pending is not None:
+                image = np.asarray(pending)
+                self._latencies.append(time.perf_counter() - last)
+                yield image
+
+    def stats(self) -> dict:
+        """Latency histogram (10 ms bins) + percentiles + FPS."""
+        lat = np.asarray(self._latencies, np.float64)
+        if lat.size == 0:
+            return {"frames": 0}
+        ms = lat * 1e3
+        edges = np.arange(0, np.ceil(ms.max() / 10) * 10 + 10, 10)
+        counts, _ = np.histogram(ms, bins=edges)
+        return {
+            "frames": int(lat.size),
+            "mean_ms": float(ms.mean()),
+            "p50_ms": float(np.percentile(ms, 50)),
+            "p90_ms": float(np.percentile(ms, 90)),
+            "p99_ms": float(np.percentile(ms, 99)),
+            "fps": float(1e3 / ms.mean()),
+            "histogram_ms": {
+                f"{int(lo)}-{int(hi)}": int(n)
+                for lo, hi, n in zip(edges[:-1], edges[1:], counts)
+                if n
+            },
+        }
+
+
+def _make_handler(server: RenderServer):
+    import cv2
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _send(self, code, content_type, body):
+            self.send_response(code)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, payload):
+            self._send(200, "application/json",
+                       json.dumps(payload).encode())
+
+        def do_GET(self):  # noqa: N802 (http.server API)
+            url = urlparse(self.path)
+            query = {k: v[-1] for k, v in parse_qs(url.query).items()}
+            try:
+                if url.path == "/info":
+                    self._send_json({
+                        "num_cameras": server.num_cameras,
+                        "height": server.resolution[0],
+                        "width": server.resolution[1],
+                        "model_type": server.raycaster.model.model_type,
+                        "fused": server.raycaster.fused,
+                        "culling": server.cull_empty and hasattr(
+                            server.sampler, "probe_cdf"),
+                    })
+                elif url.path == "/stats":
+                    self._send_json(server.stats())
+                elif url.path == "/frame":
+                    camera = int(query.get("camera", 0))
+                    fmt = query.get("format", "png")
+                    image = server.frame(camera)
+                    if fmt == "raw":
+                        self._send(200, "application/octet-stream",
+                                   image.tobytes())
+                    else:
+                        ext = ".jpg" if fmt in ("jpg", "jpeg") else ".png"
+                        ok, buf = cv2.imencode(
+                            ext, cv2.cvtColor(image, cv2.COLOR_RGB2BGR))
+                        assert ok
+                        mime = ("image/jpeg" if ext == ".jpg"
+                                else "image/png")
+                        self._send(200, mime, buf.tobytes())
+                elif url.path == "/stream.mjpeg":
+                    start = int(query.get("start", 0))
+                    count = int(query.get("count", server.num_cameras))
+                    loop = int(query.get("loop", 0))
+                    boundary = "ffnframe"
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type",
+                        f"multipart/x-mixed-replace; boundary={boundary}")
+                    self.end_headers()
+
+                    def cameras():
+                        while True:
+                            for i in range(count):
+                                yield (start + i) % server.num_cameras
+                            if not loop:
+                                return
+
+                    for image in server.frames(cameras()):
+                        ok, buf = cv2.imencode(
+                            ".jpg",
+                            cv2.cvtColor(image, cv2.COLOR_RGB2BGR))
+                        assert ok
+                        payload = buf.tobytes()
+                        self.wfile.write(
+                            f"--{boundary}\r\nContent-Type: image/jpeg"
+                            f"\r\nContent-Length: {len(payload)}"
+                            "\r\n\r\n".encode())
+                        self.wfile.write(payload)
+                        self.wfile.write(b"\r\n")
+                else:
+                    self._send(404, "text/plain", b"not found")
+            except (BrokenPipeError, ConnectionResetError):
+                pass
+            except Exception as error:  # surface errors to the client
+                self._send(500, "text/plain", str(error).encode())
+
+    return Handler
+
+
+def serve(server: RenderServer, host: str = "127.0.0.1",
+          port: int = 8765) -> ThreadingHTTPServer:
+    """Starts the HTTP server (returns it; call ``serve_forever`` or
+    use the returned instance's ``shutdown`` from tests)."""
+    return ThreadingHTTPServer((host, port), _make_handler(server))

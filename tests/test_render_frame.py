@@ -57,7 +57,7 @@ def test_render_frame_single_compile_across_cameras(cameras, bounds):
     sampler = RaySampler(bounds, cameras, num_samples=8)
     caster.render_frame(params, sampler, 0, chunk_size=100)
     fn, _ = caster._render_fns[
-        ("frame", id(sampler), 100, False, False, None)]
+        ("frame", id(sampler), 100, False, False, 2, None)]
     sizes = fn._cache_size()
     caster.render_frame(params, sampler, 1, chunk_size=100)
     caster.render_frame(params, sampler, 2, chunk_size=100)
@@ -107,7 +107,7 @@ def test_render_frame_cull_empty(bounds, cameras):
                                    grid_resolution=16, num_probes=8,
                                    bounds=bounds)
     culled = caster.render_frame(params, sampler, 0, chunk_size=64,
-                                 cull_empty=True)
+                                 cull_empty=True, probe_subsample=1)
     full = caster.render_frame(params, sampler, 0, chunk_size=64,
                                cull_empty=False)
 
@@ -120,6 +120,17 @@ def test_render_frame_cull_empty(bounds, cameras):
     np.testing.assert_array_equal(culled[hit], full[hit])
     # probe-missed rays: exact background
     assert (culled[~hit] == 0).all()
+
+    # coarse probe raster (default probe_subsample=2): the dilated
+    # coarse hit set must be a SUPERSET of the exact per-ray hit set
+    # (conservative culling — rays are only ever added, never lost),
+    # and hit rays still match the unculled render exactly
+    coarse = caster.render_frame(params, sampler, 0, chunk_size=64,
+                                 cull_empty=True, probe_subsample=2)
+    np.testing.assert_array_equal(coarse[hit], full[hit])
+    # superset ⇒ the coarse path culls no more rays than the exact one
+    assert ((coarse == 0).all(-1).sum()
+            <= (culled == 0).all(-1).sum())
 
 
 def test_render_frame_multichip_matches_single(cameras, bounds):

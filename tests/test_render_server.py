@@ -1,0 +1,113 @@
+"""Persistent render server tests (CPU, tiny scene).
+
+The server keeps a model resident and serves frames over HTTP with
+``render_frame_async`` pipelining (render/server.py). These tests
+exercise the full stack — sampler geometry as jit arguments, frame
+dispatch, JPEG/PNG/raw encodings, the MJPEG stream, and the latency
+histogram — through real sockets."""
+
+import json
+import socket
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+import fourier_feature_nets_tpu as ffn
+from fourier_feature_nets_tpu.datasets.synthetic import (
+    generate_synthetic_dataset,
+)
+from fourier_feature_nets_tpu.models import Voxels
+from fourier_feature_nets_tpu.render import RaySampler, RenderServer
+from fourier_feature_nets_tpu.render.server import serve
+
+RES = 20
+SAMPLES = 8
+
+
+@pytest.fixture(scope="module")
+def server_url(tmp_path_factory):
+    path = tmp_path_factory.mktemp("data") / "scene.npz"
+    generate_synthetic_dataset(str(path), resolution=RES,
+                               split_counts=(3, 1, 1), volume_side=16,
+                               num_samples=64)
+    dataset = ffn.ImageDataset.load(str(path), "train",
+                                    num_samples=SAMPLES)
+    model = Voxels(side=8, scale=1.0)
+    params = model.init(jax.random.PRNGKey(0))
+    caster = ffn.Raycaster(model)
+    sampler = RaySampler(dataset.sampler.bounds, dataset.cameras,
+                         SAMPLES, False)
+
+    render_server = RenderServer(caster, params, sampler,
+                                 chunk_size=128)
+    render_server.warmup()
+
+    with socket.socket() as probe:
+        probe.bind(("127.0.0.1", 0))
+        port = probe.getsockname()[1]
+    http = serve(render_server, "127.0.0.1", port)
+    thread = threading.Thread(target=http.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{port}", render_server
+    http.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=120) as response:
+        return response.read(), response.headers
+
+
+def test_info(server_url):
+    url, _ = server_url
+    body, _ = _get(url + "/info")
+    info = json.loads(body)
+    assert info["num_cameras"] == 3
+    assert info["height"] == RES and info["width"] == RES
+    assert info["model_type"] == "voxels"
+
+
+def test_frame_raw_matches_direct_render(server_url):
+    url, render_server = server_url
+    body, headers = _get(url + "/frame?camera=1&format=raw")
+    image = np.frombuffer(body, np.uint8).reshape(RES, RES, 3)
+    direct = render_server.raycaster.render_frame(
+        render_server.params, render_server.sampler, 1,
+        chunk_size=128)
+    np.testing.assert_array_equal(image, direct)
+
+
+def test_frame_png(server_url):
+    import cv2
+    url, _ = server_url
+    body, headers = _get(url + "/frame?camera=0")
+    assert headers["Content-Type"] == "image/png"
+    decoded = cv2.imdecode(np.frombuffer(body, np.uint8),
+                           cv2.IMREAD_COLOR)
+    assert decoded.shape == (RES, RES, 3)
+
+
+def test_stream_and_stats(server_url):
+    url, _ = server_url
+    request = urllib.request.urlopen(url + "/stream.mjpeg?count=4",
+                                     timeout=120)
+    body = request.read()
+    # 4 multipart JPEG frames
+    assert body.count(b"--ffnframe") == 4
+    assert body.count(b"Content-Type: image/jpeg") == 4
+
+    stats_body, _ = _get(url + "/stats")
+    stats = json.loads(stats_body)
+    assert stats["frames"] >= 4
+    assert stats["fps"] > 0
+    assert stats["p99_ms"] >= stats["p50_ms"]
+    assert sum(stats["histogram_ms"].values()) == stats["frames"]
+
+
+def test_unknown_path_404(server_url):
+    url, _ = server_url
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _get(url + "/nope")
+    assert err.value.code == 404
