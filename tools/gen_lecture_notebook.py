@@ -622,6 +622,79 @@ plt.title("render_frame: one dispatch per frame"); plt.show()
 """)
 
 md("""
+### Density-grid occupancy — the modern pipeline
+
+The octree bake marks camera-visible *surfaces*; for volumetric
+content the better occupancy source is the model's **own density
+field**: threshold opacity at the cell centers of a 64³ grid (one
+jitted sweep — the instant-ngp/NerfAcc recipe). The resulting
+`OccupancyGridSampler` concentrates a small sample budget in occupied
+space: at 800px, 32-sample frames land within 0.5 dB of 128-sample
+brute force at ~4x the speed (`orbit_video --density-grid`).
+""")
+
+code("""
+from fourier_feature_nets_tpu.render import OccupancyGridSampler
+
+occ_sampler = OccupancyGridSampler.from_model(
+    nerf, nerf_params, val_data.cameras, num_samples=8,
+    bounds=val_data.sampler.bounds)
+occ_frame = np.asarray(nerf_caster.render_frame(
+    nerf_params, occ_sampler, 0, chunk_size=res * res // 4))
+fig, axes = plt.subplots(1, 2, figsize=(8, 4))
+axes[0].imshow(frame); axes[0].set_title("uniform samples")
+axes[1].imshow(occ_frame)
+axes[1].set_title("density-grid occupancy (+culling)")
+for ax in axes: ax.axis("off")
+plt.show()
+""")
+
+md("""
+### Occupancy-guided training
+
+The same grid can guide *training*: refresh it from the live model
+every N steps (`fit(occupancy_interval=...)`) and draw fewer,
+better-placed samples per ray. The per-ray tables and the occupancy
+volume ride through the compiled step as **arguments**, so every
+refresh swaps device arrays with zero recompiles. On the 800px
+flagship schedule this is ~1.7x end-to-end; `occupancy_mix` appends a
+few full-sampling steps per guided chunk to anchor the field to the
+uniform validation quadrature.
+""")
+
+code("""
+guided_params, guided_log = nerf_caster.fit(
+    nerf.init(jax.random.PRNGKey(3)), train_data, val_data,
+    batch_size=256, learning_rate=5e-4,
+    num_steps=60 if FAST else 600, crop_steps=0,
+    report_interval=50 if FAST else 300, decay_rate=0.1,
+    decay_steps=250000, steps_per_call=10,
+    occupancy_interval=100, occupancy_samples=8,
+    occupancy_start=20 if FAST else 200, occupancy_mix=2)
+print("guided val PSNR:", guided_log[-1].val_psnr)
+""")
+
+md("""
+### Serving
+
+`serve_model.py` (render/server.py) keeps the model resident and
+serves frames over HTTP — `/frame?camera=i`, a pipelined MJPEG stream
+(`render_frame_async` overlaps device compute with the host fetch
+and JPEG encode), and `/stats` with a latency histogram. A
+hyperparameter search with the HyperDrive-equivalent Bayesian
+optimizer is one command:
+
+```bash
+python serve_model.py results/nerf/nerf.npz 800 --density-grid
+
+python -m fourier_feature_nets_tpu.cli.sweep train_tiny_nerf \\
+    --strategy bayesian --max-runs 12 --max-concurrent 2 \\
+    --space "learning-rate=loguniform(1e-5,1e-2)" \\
+    --sweep-dir results/sweep -- synthetic positional --num-steps 2000
+```
+""")
+
+md("""
 ## 8. Scaling out — data parallelism
 
 Rays are embarrassingly parallel, so the framework shards the batch
