@@ -121,14 +121,23 @@ def _corner_data(grid_shape, coords):
 @jax.custom_vjp
 def grid_sample_3d_fast(grid: jnp.ndarray,
                         coords: jnp.ndarray) -> jnp.ndarray:
-    """grid_sample_3d with an explicit sorted-segment-sum backward.
+    """grid_sample_3d with a cell-binned scatter backward.
 
-    Measured on v5e: the device sort dominates and this is ~1.5x
-    SLOWER than XLA's native scatter-add backward for 128^3 grids at
-    262k points/step (99 ms vs 146 ms), so :class:`models.Voxels`
-    uses the plain autodiff path. Kept as the reference implementation
-    for backends/shapes where scatter lowers worse than sort, and as
-    the gradient-parity oracle (tests/test_grid_sample_fast.py).
+    The naive grid gradient scatters 8N weighted corner contributions
+    (XLA lowers scatter-add to a serialized per-row update — the
+    measured dense-Voxels bottleneck; a sorted segment-sum was 1.5x
+    worse again, see docs/RESULTS.md). Here every point's EIGHT corner
+    contributions are binned into ONE scatter row keyed by the
+    point's containing cell (8x fewer scatter rows, 8C channels per
+    row), and corner placement becomes eight DENSE rolled adds on a
+    +1-padded grid whose border fold-back reproduces torch's
+    border-padding clamp exactly. Scatter work drops from 8N rows to
+    N rows; the dense shifts are pure HBM bandwidth.
+
+    Numerically exact vs the autodiff oracle
+    (tests/test_grid_sample_fast.py). Memory: one transient
+    (D+2)(H+2)(W+2) x 8C buffer (~280 MB at 128^3 x 4ch f32) — use
+    the autodiff path for grids past ~160^3.
     """
     return grid_sample_3d(grid, coords)
 
@@ -137,20 +146,67 @@ def _gs_fwd(grid, coords):
     return grid_sample_3d(grid, coords), (grid, coords)
 
 
+def _corner_offsets():
+    """Corner bit patterns (Python ints — the roll shifts must be
+    static under jit), index order matching _corner_data."""
+    zbit = (0, 0, 0, 0, 1, 1, 1, 1)
+    ybit = (0, 0, 1, 1, 0, 0, 1, 1)
+    xbit = (0, 1, 0, 1, 0, 1, 0, 1)
+    return zbit, ybit, xbit
+
+
 def _gs_bwd(residuals, g):
     grid, coords = residuals
     depth, height, width, channels = grid.shape
-    indices, weights, (dx, dy, dz) = _corner_data(grid.shape, coords)
+    indices, _, (dx, dy, dz) = _corner_data(grid.shape, coords)
 
-    # d_grid: sorted segment-sum scatter of g * w into the 8 corners
-    contributions = (g[:, None, :] * weights[..., None])  # (N, 8, C)
-    flat_idx = indices.reshape(-1)
-    flat_vals = contributions.reshape(-1, channels)
-    order = jnp.argsort(flat_idx)
-    d_grid_flat = jax.ops.segment_sum(
-        flat_vals[order], flat_idx[order],
-        num_segments=depth * height * width, indices_are_sorted=True)
-    d_grid = d_grid_flat.reshape(grid.shape)
+    # ---- d_grid: cell-binned scatter + dense corner shifts ----
+    # Clamping coords to [-1, 1] first leaves the grid gradient
+    # unchanged (beyond the border both corners of the crossing axis
+    # collapse onto the same edge cell, so only the SUM of their
+    # weights matters — and it is 1 either way), but gives every
+    # point an unclamped base cell in [-1, size-1] per axis, which
+    # the +1-padded accumulator indexes directly.
+    clamped = jnp.clip(coords, -1.0, 1.0)
+    xc = _unnormalize(clamped[:, 0], width)
+    yc = _unnormalize(clamped[:, 1], height)
+    zc = _unnormalize(clamped[:, 2], depth)
+    x0f, y0f, z0f = jnp.floor(xc), jnp.floor(yc), jnp.floor(zc)
+    wx = jnp.stack([1 - (xc - x0f), xc - x0f], -1)
+    wy = jnp.stack([1 - (yc - y0f), yc - y0f], -1)
+    wz = jnp.stack([1 - (zc - z0f), zc - z0f], -1)
+    cw = (wz[:, :, None, None] * wy[:, None, :, None]
+          * wx[:, None, None, :]).reshape(-1, 8)       # (N, 8)
+
+    pd, ph, pw = depth + 2, height + 2, width + 2
+    base = (((z0f.astype(jnp.int32) + 1) * ph
+             + (y0f.astype(jnp.int32) + 1)) * pw
+            + (x0f.astype(jnp.int32) + 1))             # (N,)
+    contributions = (g[:, None, :] * cw[..., None]).reshape(
+        -1, 8 * channels)                              # (N, 8C)
+    binned = jnp.zeros((pd * ph * pw, 8 * channels),
+                       contributions.dtype)
+    binned = binned.at[base].add(contributions)
+    binned = binned.reshape(pd, ph, pw, 8, channels)
+
+    zbit, ybit, xbit = _corner_offsets()
+    acc = jnp.zeros((pd, ph, pw, channels), binned.dtype)
+    for corner in range(8):
+        # roll is exact here: the padded support is [0, size] per
+        # axis, so a +1 roll wraps only the empty top plane
+        acc = acc + jnp.roll(
+            binned[..., corner, :],
+            (zbit[corner], ybit[corner], xbit[corner]),
+            axis=(0, 1, 2))
+
+    # fold the pad planes onto the border (torch border clamping)
+    acc = acc.at[1].add(acc[0]).at[pd - 2].add(acc[pd - 1])
+    acc = acc[1:pd - 1]
+    acc = acc.at[:, 1].add(acc[:, 0]).at[:, ph - 2].add(acc[:, ph - 1])
+    acc = acc[:, 1:ph - 1]
+    acc = (acc.at[:, :, 1].add(acc[:, :, 0])
+           .at[:, :, pw - 2].add(acc[:, :, pw - 1]))
+    d_grid = acc[:, :, 1:pw - 1]
 
     # d_coords: analytic derivative of the trilinear lerp
     flat_grid = grid.reshape(-1, channels)
