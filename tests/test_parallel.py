@@ -289,9 +289,6 @@ def test_occupancy_guided_fit_under_mesh(scene, tmp_path_factory):
     density-grid sampler's tables replicate as jit arguments, the
     grid refresh re-replicates without recompiling, and training
     converges on the 8-device mesh."""
-    from fourier_feature_nets_tpu.render.occupancy_sampler import (
-        OccupancyGridSampler,
-    )
     path = tmp_path_factory.mktemp("data") / "scene_occ.npz"
     generate_synthetic_dataset(str(path), resolution=24,
                                split_counts=(3, 1, 1), volume_side=16,

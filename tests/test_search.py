@@ -2,7 +2,6 @@
 CLI's concurrent runner — the HyperDrive-equivalent surface
 (submit_param_sweep.py:49-64 parity)."""
 
-import json
 import os
 
 import numpy as np

@@ -1,0 +1,70 @@
+"""Steady-state render-server measurement on a trained model
+(real TPU): serves an 800px orbit over real HTTP, streams frames
+through the pipelined MJPEG endpoint, and prints the /stats latency
+histogram — the serving-loop validation of the production frame path.
+
+Usage: python -m tools.serve_bench <model.npz> [resolution] [samples]
+"""
+
+import json
+import socket
+import sys
+import threading
+import urllib.request
+
+
+def main():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fourier_feature_nets_tpu.cameras import Resolution
+    from fourier_feature_nets_tpu.models import load_model
+    from fourier_feature_nets_tpu.render import Raycaster, RenderServer
+    from fourier_feature_nets_tpu.render.occupancy_sampler import (
+        OccupancyGridSampler,
+    )
+    from fourier_feature_nets_tpu.render.server import serve
+    from fourier_feature_nets_tpu.utils.camera_paths import orbit
+
+    model_path = sys.argv[1]
+    res = int(sys.argv[2]) if len(sys.argv) > 2 else 800
+    samples = int(sys.argv[3]) if len(sys.argv) > 3 else 48
+
+    model, params = load_model(model_path)
+    cameras = orbit(np.array([0.0, 1.0, 0.0]),
+                    np.array([0.0, 0.0, -1.0]), 40, 40.0,
+                    Resolution(res, res), 4.0)
+    bounds = np.diag([2.0, 2.0, 2.0, 1.0]).astype(np.float32)
+    sampler = OccupancyGridSampler.from_model(
+        model, params, cameras, samples, bounds=bounds)
+    caster = Raycaster(model, compute_dtype=jnp.bfloat16)
+
+    server = RenderServer(caster, params, sampler)
+    print(f"warmup (compile): {server.warmup():.1f}s")
+
+    with socket.socket() as probe:
+        probe.bind(("127.0.0.1", 0))
+        port = probe.getsockname()[1]
+    http = serve(server, "127.0.0.1", port)
+    thread = threading.Thread(target=http.serve_forever, daemon=True)
+    thread.start()
+
+    url = f"http://127.0.0.1:{port}"
+    # steady-state: 30 frames through the pipelined MJPEG stream
+    with urllib.request.urlopen(url + "/stream.mjpeg?count=30",
+                                timeout=600) as stream:
+        body = stream.read()
+    frames = body.count(b"--ffnframe")
+    with urllib.request.urlopen(url + "/stats", timeout=60) as resp:
+        stats = json.loads(resp.read())
+    http.shutdown()
+
+    print(f"streamed {frames} frames at {res}x{res}, "
+          f"{samples} samples/ray")
+    print(json.dumps(stats, indent=2))
+    print(f"steady-state: {stats['fps']:.2f} FPS/chip "
+          f"(p50 {stats['p50_ms']:.0f} ms, p99 {stats['p99_ms']:.0f} ms)")
+
+
+if __name__ == "__main__":
+    main()
