@@ -247,7 +247,7 @@ def _kernel(config, positions_ref, views_ref, pos_enc_ref, view_enc_ref,
             *refs):
     (num_layers, skip_positions, include_inputs, num_mid,
      pos_enc_parts, view_enc_parts, pos_double, view_double,
-     num_freq_pos, num_freq_view, compute_dtype) = config
+     num_freq_pos, num_freq_view, compute_dtype, split) = config
 
     # unpack flat refs in the order _fused_call packed them
     it = iter(refs)
@@ -266,19 +266,31 @@ def _kernel(config, positions_ref, views_ref, pos_enc_ref, view_enc_ref,
     hidden_parts = take(1 + view_enc_parts)
     (hidden_b, color_w, color_b, out_ref) = take(4)
 
-    pos = positions_ref[:]
-    views = views_ref[:]
+    # ``split`` independent sub-chains, emitted STAGE-MAJOR (every
+    # chunk's layer-i matmul before any chunk's layer i+1): the MLP is
+    # one dependent matmul chain, so a single chain leaves the MXU
+    # idle during each inter-layer relu/cast; independent chunks give
+    # the scheduler work to overlap it with.
+    tile = positions_ref.shape[0]
+    sub = tile // split
+    chunks = [slice(s * sub, (s + 1) * sub) for s in range(split)]
+    pos_s = [positions_ref[c] for c in chunks]
+    views_s = [views_ref[c] for c in chunks]
 
-    if pos_double:
-        enc = [_doubled_features(pos, num_freq_pos, include_inputs,
-                                 compute_dtype)]
-    else:
-        sin, cos = _fast_sincos(_phases(pos, pos_enc_ref))
-        enc = [cos.astype(compute_dtype), sin.astype(compute_dtype)]
+    def encode(x, doubled, num_freq, enc_ref):
+        if doubled:
+            return [_doubled_features(x, num_freq, include_inputs,
+                                      compute_dtype)]
+        sin, cos = _fast_sincos(_phases(x, enc_ref))
+        out = [cos.astype(compute_dtype), sin.astype(compute_dtype)]
         if include_inputs:
-            enc.append(pos.astype(compute_dtype))
+            out.append(x.astype(compute_dtype))
+        return out
 
-    def enc_dot(parts):
+    enc_s = [encode(p, pos_double, num_freq_pos, pos_enc_ref)
+             for p in pos_s]
+
+    def enc_dot(enc, parts):
         acc = _dot(enc[0], parts[0])
         for feat, w_ref in zip(enc[1:], parts[1:]):
             acc += _dot(feat, w_ref)
@@ -287,60 +299,67 @@ def _kernel(config, positions_ref, views_ref, pos_enc_ref, view_enc_ref,
     # relu commutes with the (monotone, round-to-nearest) downcast:
     # applying it AFTER the bf16 cast saves one full-width f32 VPU
     # pass per layer
-    h = jnp.maximum((enc_dot(first_parts)
-                     + first_b[:]).astype(compute_dtype), 0.0)
+    h_s = [jnp.maximum((enc_dot(enc, first_parts)
+                        + first_b[:]).astype(compute_dtype), 0.0)
+           for enc in enc_s]
 
     mid_iter = 0
     skip_iter = 0
     for i in range(1, num_layers):
         if i in skip_positions:
             parts = skip_parts[skip_iter]
-            acc = _dot(h, parts[0]) + enc_dot(parts[1:])
-            acc += skip_b[skip_iter][:]
+            acc_s = [_dot(h, parts[0]) + enc_dot(enc, parts[1:])
+                     + skip_b[skip_iter][:]
+                     for h, enc in zip(h_s, enc_s)]
             skip_iter += 1
         else:
-            acc = _dot(h, mid_w[mid_iter]) + mid_b[mid_iter][:]
+            acc_s = [_dot(h, mid_w[mid_iter]) + mid_b[mid_iter][:]
+                     for h in h_s]
             mid_iter += 1
-        h = jnp.maximum(acc.astype(compute_dtype), 0.0)
+        h_s = [jnp.maximum(acc.astype(compute_dtype), 0.0)
+               for acc in acc_s]
 
-    opacity = _dot(h, opacity_w) + opacity_b[:]
-    bottleneck = (_dot(h, bottleneck_w)
-                  + bottleneck_b[:]).astype(compute_dtype)
+    opacity_s = [_dot(h, opacity_w) + opacity_b[:] for h in h_s]
+    bottleneck_s = [(_dot(h, bottleneck_w)
+                     + bottleneck_b[:]).astype(compute_dtype)
+                    for h in h_s]
 
-    if view_double:
-        venc = [_doubled_features(views, num_freq_view, include_inputs,
-                                  compute_dtype)]
-    else:
-        v_sin, v_cos = _fast_sincos(_phases(views, view_enc_ref))
-        venc = [v_cos.astype(compute_dtype),
-                v_sin.astype(compute_dtype)]
-        if include_inputs:
-            venc.append(views.astype(compute_dtype))
+    venc_s = [encode(v, view_double, num_freq_view, view_enc_ref)
+              for v in views_s]
 
-    acc = _dot(bottleneck, hidden_parts[0])
-    for feat, w_ref in zip(venc, hidden_parts[1:]):
-        acc += _dot(feat, w_ref)
-    hidden = jnp.maximum(acc + hidden_b[:], 0.0).astype(compute_dtype)
-    color = _dot(hidden, color_w) + color_b[:]
+    hidden_s = []
+    for bottleneck, venc in zip(bottleneck_s, venc_s):
+        acc = _dot(bottleneck, hidden_parts[0])
+        for feat, w_ref in zip(venc, hidden_parts[1:]):
+            acc += _dot(feat, w_ref)
+        hidden_s.append(jnp.maximum(acc + hidden_b[:],
+                                    0.0).astype(compute_dtype))
+    color_s = [_dot(hidden, color_w) + color_b[:]
+               for hidden in hidden_s]
 
-    out_ref[:] = jnp.concatenate([color[:, :3], opacity[:, :1]], -1)
+    for chunk, color, opacity in zip(chunks, color_s, opacity_s):
+        out_ref[chunk] = jnp.concatenate([color[:, :3], opacity[:, :1]],
+                                         -1)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("model_static", "tile", "interpret"))
+                   static_argnames=("model_static", "tile", "interpret",
+                                    "split"))
 def _fused_call(model_static, weights: FusedNeRFWeights,
                 positions: jnp.ndarray, views: jnp.ndarray,
-                tile: int = 2048, interpret: bool = False):
+                tile: int = 2048, interpret: bool = False,
+                split: int = 1):
     (num_layers, skip_positions, include_inputs, num_freq_pos,
      num_freq_view, pos_double, view_double, dtype_name) = model_static
     compute_dtype = jnp.dtype(dtype_name)
     num = positions.shape[0]
     assert num % tile == 0
+    assert tile % split == 0
 
     config = (num_layers, skip_positions, include_inputs,
               len(weights.mid_w), len(weights.first_parts),
               len(weights.hidden_parts) - 1, pos_double, view_double,
-              num_freq_pos, num_freq_view, compute_dtype)
+              num_freq_pos, num_freq_view, compute_dtype, split)
 
     weight_inputs = (list(weights.first_parts) + [weights.first_b]
                      + list(weights.mid_w) + list(weights.mid_b))
@@ -381,11 +400,14 @@ def _fused_call(model_static, weights: FusedNeRFWeights,
 def fused_nerf_apply(model, weights: FusedNeRFWeights,
                      positions: jnp.ndarray, views: jnp.ndarray,
                      tile: int = 2048,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False,
+                     split: int = 1) -> jnp.ndarray:
     """Fused NeRF forward: (N, 3) positions + views -> (N, 4) logits.
 
     ``N`` is padded internally to a multiple of ``tile``. Inference
-    only (no VJP) — use ``model.apply`` for training.
+    only (no VJP) — use ``model.apply`` for training. ``split`` > 1
+    processes the tile as that many independent sub-chains emitted
+    stage-major (ILP experiment — see tools/kernel_split_bench.py).
     """
     dtype = weights.mid_w[0].dtype if weights.mid_w else (
         weights.bottleneck_w.dtype)
@@ -415,5 +437,5 @@ def fused_nerf_apply(model, weights: FusedNeRFWeights,
     out = _fused_call(model_static, weights,
                       positions.astype(jnp.float32),
                       views.astype(jnp.float32), tile=tile,
-                      interpret=interpret)
+                      interpret=interpret, split=split)
     return out[:num]

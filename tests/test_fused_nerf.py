@@ -63,6 +63,21 @@ class TestFusedKernel:
                                           tile=128, interpret=True))
         np.testing.assert_allclose(out, ref, atol=0.05)
 
+    @pytest.mark.parametrize("split", [2, 4])
+    def test_split_subchains_bit_identical(self, nerf, inputs, split):
+        """split=S emits S independent sub-chains stage-major (MXU ILP
+        experiment); the math per point is unchanged, so outputs must
+        be BIT-identical to the single-chain kernel."""
+        model, params = nerf
+        pos, views = inputs
+        weights = prepare_fused_nerf(model, params, dtype=jnp.bfloat16)
+        base = np.asarray(fused_nerf_apply(model, weights, pos, views,
+                                           tile=128, interpret=True))
+        out = np.asarray(fused_nerf_apply(model, weights, pos, views,
+                                          tile=128, split=split,
+                                          interpret=True))
+        np.testing.assert_array_equal(out, base)
+
     def test_padding_of_ragged_batch(self, nerf, inputs):
         model, params = nerf
         pos, views = inputs
