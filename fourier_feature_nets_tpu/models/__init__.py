@@ -10,7 +10,8 @@ from .fourier import (
 from .factorized import FactorizedVoxels
 from .module import Model, linear_apply, linear_init, mlp_apply, mlp_init
 from .nerf import NeRF
-from .serialization import load_model, load_torch_model, save_model
+from .serialization import (load_model, load_torch_model,
+                            save_model, save_torch_model)
 from .voxels import Voxels
 
 __all__ = [
@@ -30,4 +31,5 @@ __all__ = [
     "load_model",
     "load_torch_model",
     "save_model",
+    "save_torch_model",
 ]

@@ -9,7 +9,11 @@ pytree — readable anywhere NumPy is, no torch/pickle dependency.
 
 For cross-validation against the PyTorch reference,
 :func:`load_torch_model` imports the reference's ``.pt`` checkpoints
-(weights transposed to the x @ W convention) when torch is available.
+(weights transposed to the x @ W convention) when torch is available,
+and :func:`save_torch_model` writes checkpoints the reference's own
+``utils.load_model`` (utils.py:448-503) accepts — interchange works in
+BOTH directions, so models trained here drop into the reference's
+rendering/visualization scripts unchanged.
 """
 
 import json
@@ -25,7 +29,8 @@ from .module import Model
 from .nerf import NeRF
 from .voxels import Voxels
 
-__all__ = ["save_model", "load_model", "load_torch_model"]
+__all__ = ["save_model", "load_model", "load_torch_model",
+           "save_torch_model"]
 
 _MODEL_TYPES = {
     "fourier": FourierFeatureMLP,
@@ -125,6 +130,60 @@ def load_model(path: str) -> Tuple[Model, dict]:
         flat = {k: data[k] for k in data.files if k != "__manifest__"}
     model = build_model(manifest["type"], manifest["params"])
     return model, _unflatten(flat)
+
+
+def save_torch_model(model: Model, params, path: str):
+    """Exports a model to the reference's PyTorch ``.pt`` format.
+
+    The written file is loadable by the reference's ``load_model``
+    (utils.py:448-503) / ``load_state_dict``: Linear weights are
+    transposed back to torch's (out, in), the Voxels grid to
+    (1, 4, D, H, W), and the non-trainable buffers the reference
+    registers as parameters (``pos_encoding``/``view_encoding``,
+    fourier ``a_values``/``b_values``) are included so strict
+    ``load_state_dict`` finds every key.
+    """
+    import torch  # local import: torch is optional at runtime
+
+    def tensor(value):
+        return torch.from_numpy(np.ascontiguousarray(
+            np.asarray(value, np.float32)))
+
+    def linear(layer):
+        weight = tensor(layer["weight"]).T.contiguous()
+        return weight, tensor(layer["bias"])
+
+    state = {"type": model.model_type, "params": model.params_manifest}
+    if model.model_type == "fourier":
+        # fourier_feature_models.py:44-56: a/b registered only when the
+        # encoding exists (MLP variant has none).
+        if getattr(model, "b_values", None) is not None:
+            state["a_values"] = tensor(model.a_values)
+            state["b_values"] = tensor(model.b_values)
+        for i, layer in enumerate(params["layers"]):
+            state[f"layers.{i}.weight"], state[f"layers.{i}.bias"] = (
+                linear(layer))
+    elif model.model_type == "nerf":
+        # nerf_model.py:45-48: encodings are non-grad nn.Parameters.
+        state["pos_encoding"] = tensor(model.pos_encoding)
+        state["view_encoding"] = tensor(model.view_encoding)
+        for i, layer in enumerate(params["layers"]):
+            state[f"layers.{i}.weight"], state[f"layers.{i}.bias"] = (
+                linear(layer))
+        for head in ("opacity_out", "bottleneck", "hidden_view",
+                     "color_out"):
+            state[f"{head}.weight"], state[f"{head}.bias"] = linear(
+                params[head])
+    elif model.model_type == "voxels":
+        # voxels_model.py:26-31: grid (1, 4, D, H, W), bias (1, 4).
+        grid = np.asarray(params["voxels"], np.float32)
+        state["voxels"] = tensor(np.moveaxis(grid, -1, 0)[None])
+        state["bias"] = tensor(params["bias"])[None]
+    else:
+        raise ValueError(
+            f"Model type {model.model_type!r} has no reference torch "
+            "format (use save_model for the native NPZ checkpoint)")
+    torch.save(state, path)
 
 
 def load_torch_model(path: str) -> Tuple[Model, dict]:

@@ -13,7 +13,14 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from fourier_feature_nets_tpu.models import NeRF, Voxels, load_model
+from fourier_feature_nets_tpu.models import (
+    FourierFeatureMLP,
+    NeRF,
+    Voxels,
+    load_model,
+    load_torch_model,
+    save_torch_model,
+)
 
 torch = pytest.importorskip("torch")
 
@@ -183,6 +190,148 @@ class TestGenuineReferenceArtifacts:
         np.testing.assert_allclose(ours, expected, rtol=1e-3,
                                    atol=2e-4)
 
+class TestTorchExport:
+    """save_torch_model writes checkpoints the REFERENCE's own
+    utils.load_model accepts (utils.py:448-503 + strict
+    load_state_dict) — interchange in the export direction: models
+    trained here drop into the reference's scripts unchanged."""
+
+    def test_export_nerf_to_reference(self, reference_pkg, tmp_path,
+                                      rng):
+        import jax
+
+        ref = reference_pkg
+        model = NeRF(num_layers=3, num_channels=24,
+                     max_log_scale_pos=4.0, num_freq_pos=5,
+                     max_log_scale_view=1.0, num_freq_view=2,
+                     skips=[1], include_inputs=True)
+        params = model.init(jax.random.PRNGKey(11))
+        path = str(tmp_path / "export_nerf.pt")
+        save_torch_model(model, params, path)
+
+        module = ref.load_model(path)
+        assert isinstance(module, ref.NeRF)
+
+        pos = rng.uniform(-1, 1, (29, 3)).astype(np.float32)
+        views = rng.normal(size=(29, 3)).astype(np.float32)
+        views /= np.linalg.norm(views, axis=-1, keepdims=True)
+        ours = np.asarray(model.apply(params, jnp.asarray(pos),
+                                      jnp.asarray(views)))
+        with torch.no_grad():
+            expected = module(torch.from_numpy(pos),
+                              torch.from_numpy(views)).numpy()
+        np.testing.assert_allclose(ours, expected, rtol=1e-3,
+                                   atol=2e-4)
+
+    def test_export_voxels_to_reference(self, reference_pkg, tmp_path,
+                                        rng):
+        ref = reference_pkg
+        model = Voxels(6, 2.0)
+        params = {
+            "voxels": jnp.asarray(
+                rng.normal(0, 0.5, (6, 6, 6, 4)).astype(np.float32)),
+            "bias": jnp.asarray(
+                rng.normal(size=(4,)).astype(np.float32)),
+        }
+        path = str(tmp_path / "export_vox.pt")
+        save_torch_model(model, params, path)
+
+        module = ref.load_model(path)
+        assert isinstance(module, ref.Voxels)
+
+        positions = rng.uniform(-2.2, 2.2, (64, 3)).astype(np.float32)
+        ours = np.asarray(model.apply(params, jnp.asarray(positions)))
+        with torch.no_grad():
+            expected = module(torch.from_numpy(positions)).numpy()
+        np.testing.assert_allclose(ours, expected, rtol=1e-4,
+                                   atol=1e-5)
+
+    @pytest.mark.parametrize("encoded", [False, True])
+    def test_export_fourier_to_reference(self, reference_pkg, tmp_path,
+                                         rng, encoded):
+        import jax
+
+        ref = reference_pkg
+        if encoded:
+            b_values = rng.normal(0, 4.0, (2, 16)).astype(np.float32)
+            a_values = np.ones(16, np.float32)
+        else:
+            a_values = b_values = None
+        model = FourierFeatureMLP(2, 3, a_values, b_values, [20, 20])
+        params = model.init(jax.random.PRNGKey(7))
+        path = str(tmp_path / "export_ffn.pt")
+        save_torch_model(model, params, path)
+
+        module = ref.load_model(path)
+        uvs = rng.uniform(0, 2, (37, 2)).astype(np.float32)
+        ours = np.asarray(model.apply(params, jnp.asarray(uvs)))
+        with torch.no_grad():
+            expected = module(torch.from_numpy(uvs)).numpy()
+        np.testing.assert_allclose(ours, expected, rtol=1e-4,
+                                   atol=1e-5)
+
+    def test_export_import_roundtrip(self, tmp_path, rng):
+        """Framework-only roundtrip (no reference needed): export then
+        re-import reproduces the parameter pytree exactly."""
+        import jax
+
+        model = NeRF(num_layers=2, num_channels=16,
+                     max_log_scale_pos=3.0, num_freq_pos=4,
+                     max_log_scale_view=1.0, num_freq_view=2,
+                     skips=[1], include_inputs=True)
+        params = model.init(jax.random.PRNGKey(3))
+        path = str(tmp_path / "roundtrip.pt")
+        save_torch_model(model, params, path)
+        model2, params2 = load_torch_model(path)
+        assert model2.params_manifest == model.params_manifest
+        flat = jax.tree_util.tree_leaves(params)
+        flat2 = jax.tree_util.tree_leaves(params2)
+        assert len(flat) == len(flat2)
+        for a, b in zip(flat, flat2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_export_unsupported_type(self, tmp_path):
+        from fourier_feature_nets_tpu.models import FactorizedVoxels
+        import jax
+
+        model = FactorizedVoxels(8, 1.0, rank=2)
+        params = model.init(jax.random.PRNGKey(0))
+        with pytest.raises(ValueError, match="no reference torch"):
+            save_torch_model(model, params,
+                             str(tmp_path / "nope.pt"))
+
+
+def test_convert_checkpoint_cli(tmp_path, rng):
+    """NPZ -> .pt -> NPZ through the converter CLI preserves the
+    model and its weights exactly."""
+    import jax
+
+    from fourier_feature_nets_tpu.cli import convert_checkpoint
+    from fourier_feature_nets_tpu.models import save_model
+
+    model = Voxels(5, 1.5)
+    params = {
+        "voxels": jnp.asarray(
+            rng.normal(0, 0.5, (5, 5, 5, 4)).astype(np.float32)),
+        "bias": jnp.asarray(rng.normal(size=(4,)).astype(np.float32)),
+    }
+    npz_in = str(tmp_path / "in.npz")
+    pt = str(tmp_path / "mid.pt")
+    npz_out = str(tmp_path / "out.npz")
+    save_model(model, params, npz_in)
+    convert_checkpoint.main([npz_in, pt])
+    convert_checkpoint.main([pt, npz_out])
+
+    model2, params2 = load_model(npz_out)
+    assert model2.model_type == "voxels"
+    assert model2.side == 5 and model2.scale == 1.5
+    np.testing.assert_array_equal(np.asarray(params2["voxels"]),
+                                  np.asarray(params["voxels"]))
+    np.testing.assert_array_equal(np.asarray(params2["bias"]),
+                                  np.asarray(params["bias"]))
+
+
+class TestGenuineReferenceFourier:
     @pytest.mark.parametrize("kind", ["mlp", "basic", "positional",
                                       "gaussian"])
     def test_reference_fourier_mlp_pt(self, reference_pkg, tmp_path,
