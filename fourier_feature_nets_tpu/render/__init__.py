@@ -1,5 +1,6 @@
 """Rendering engine: ray sampling and the volumetric raycaster."""
 
+from .distill import distill
 from .occupancy_sampler import (
     OccupancyGridSampler,
     density_grid_from_model,
@@ -12,4 +13,5 @@ from .server import RenderServer
 
 __all__ = ["OccupancyGridSampler", "OctreeRaySampler", "RaySampler",
            "RaySamples", "Raycaster", "RenderServer",
-           "density_grid_from_model", "occupancy_grid_from_tree"]
+           "density_grid_from_model", "distill",
+           "occupancy_grid_from_tree"]

@@ -61,6 +61,11 @@ def main():
     total = num_chunks * chunk_size
     idx_all = jnp.arange(total, dtype=jnp.int32) % rays_per_cam
 
+    # per-ray tables are lazy (round 2); force the build OUTSIDE jit
+    # so tracing the probes below doesn't trigger the host-side
+    # np.asarray conversion inside _build_ray_tables
+    _ = sampler.starts.shape
+
     # hit fraction
     @jax.jit
     def count_hits(c):

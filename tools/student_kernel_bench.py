@@ -1,0 +1,77 @@
+"""Fused-kernel chunk cost across student NeRF sizes — sizing the
+payoff of distilling the flagship 8x256 model into a smaller student
+for serving. One 16384-ray x 32-sample chunk per timing (the
+render_frame hit-chunk shape), chained inside a lax.scan.
+
+Usage: python -m tools.student_kernel_bench
+"""
+
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from fourier_feature_nets_tpu.models import NeRF
+    from fourier_feature_nets_tpu.ops.fused_nerf import (
+        fused_nerf_apply,
+        prepare_fused_nerf,
+    )
+    from fourier_feature_nets_tpu.render.raycaster import _composite
+
+    rays, samples = 16384, 32
+    t_vals = jnp.linspace(1.0, 4.0, samples)[None].repeat(rays, 0)
+    d = jax.random.normal(jax.random.PRNGKey(0), (rays, 3))
+    d = d / jnp.linalg.norm(d, -1, keepdims=True)
+    pos = (jnp.zeros((rays, 1, 3))
+           + t_vals[..., None] * d[:, None]).reshape(-1, 3)
+    views = jnp.broadcast_to(d[:, None],
+                             (rays, samples, 3)).reshape(-1, 3)
+    scan_iters = 20
+
+    configs = [
+        ("8x256 (flagship)", dict(num_layers=8, num_channels=256,
+                                  skips=[4])),
+        ("8x128", dict(num_layers=8, num_channels=128, skips=[4])),
+        ("4x256", dict(num_layers=4, num_channels=256, skips=[2])),
+        ("4x128", dict(num_layers=4, num_channels=128, skips=[2])),
+        ("4x64", dict(num_layers=4, num_channels=64, skips=[2])),
+        ("2x128", dict(num_layers=2, num_channels=128, skips=[1])),
+    ]
+
+    for label, cfg in configs:
+        model = NeRF(max_log_scale_pos=9.0, num_freq_pos=10,
+                     max_log_scale_view=3.0, num_freq_view=4,
+                     include_inputs=True, **cfg)
+        params = model.init(jax.random.PRNGKey(0))
+        weights = prepare_fused_nerf(model, params,
+                                     dtype=jnp.bfloat16)
+
+        @jax.jit
+        def run(c, weights=weights, model=model):
+            def body(carry, _):
+                flat = fused_nerf_apply(model, weights,
+                                        pos + carry * 0.0, views)
+                out = _composite(flat.reshape(rays, samples, 4),
+                                 t_vals, False)
+                return jnp.sum(out.color) * 1e-9, None
+            c, _ = jax.lax.scan(body, c,
+                                jnp.arange(scan_iters, dtype=jnp.int32))
+            return c
+
+        try:
+            c = run(jnp.float32(0.0))
+            float(c)
+            start = time.perf_counter()
+            c = run(c)
+            float(c)
+            dt = (time.perf_counter() - start) / scan_iters
+            print(f"{label:>20}: {dt * 1e3:7.2f} ms/chunk "
+                  f"({rays * samples / dt / 1e6:6.1f} Mpts/s)")
+        except Exception as error:
+            print(f"{label:>20}: FAILED {str(error)[:120]}")
+
+
+if __name__ == "__main__":
+    main()
