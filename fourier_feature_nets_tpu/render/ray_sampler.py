@@ -281,17 +281,42 @@ class RaySampler:
                                          keepdims=False)
         p = jax.lax.dynamic_index_in_dim(self.cam_positions, camera, 0,
                                          keepdims=False)
+        return self.pose_ray_geometry(m, p, offsets)
+
+    def pose_ray_geometry(self, ray_m, position, offsets):
+        """Ray geometry for pixel ``offsets`` of an ARBITRARY camera
+        pose given by its calibration ``(ray_m, position)`` — the
+        direction matrix ``M = R @ K^-1`` and the world-space camera
+        position (same algebra as the precomputed per-rig tables,
+        cameras.py raycast/unproject). Both may be traced jit
+        arguments, so one compiled frame executable serves any pose
+        at the sampler's resolution (the serving free-camera path).
+
+        Returns:
+            (starts, directions, near, far, valid), as
+            :meth:`camera_ray_geometry`.
+        """
         x = (offsets % self.image_width).astype(jnp.float32)
         y = (offsets // self.image_width).astype(jnp.float32)
-        d = x[:, None] * m[:, 0] + y[:, None] * m[:, 1] + m[:, 2]
+        d = (x[:, None] * ray_m[:, 0] + y[:, None] * ray_m[:, 1]
+             + ray_m[:, 2])
         d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-        starts = jnp.broadcast_to(p, d.shape)
+        starts = jnp.broadcast_to(position, d.shape)
         nf = ray_aabb_near_far(starts, d,
                                jnp.asarray(self.bounds_min),
                                jnp.asarray(self.bounds_max))
         near = jnp.where(nf.valid, nf.near, 1.0)
         far = jnp.where(nf.valid, nf.far, 2.0)
         return starts, d, near, far, nf.valid
+
+    @staticmethod
+    def pose_calibration(camera) -> tuple:
+        """``(ray_m, position)`` jit-argument calibration for one
+        :class:`CameraInfo` (the input to :meth:`pose_ray_geometry`)."""
+        m = (camera.extrinsics[:3, :3]
+             @ np.linalg.inv(camera.intrinsics)).astype(np.float32)
+        return jnp.asarray(m), jnp.asarray(
+            camera.position[0].astype(np.float32))
 
     def sample_camera_rays(self, camera, offsets, step=None,
                            rng: Optional[jax.Array] = None):
@@ -306,6 +331,22 @@ class RaySampler:
         idx = camera * self.rays_per_camera + offsets
         return self._sample_geometry(starts, directions, near, far,
                                      idx, step, rng), valid
+
+    def sample_pose_rays(self, ray_m, position, offsets, step=None,
+                         rng: Optional[jax.Array] = None):
+        """Like :meth:`sample_camera_rays` for an ARBITRARY camera pose
+        (``(ray_m, position)`` calibration as traced jit arguments —
+        see :meth:`pose_ray_geometry`). RNG keying uses the pixel
+        offset as the ray id (free poses have no global ray index);
+        eval renders pass no rng, where the id is inert.
+
+        Returns:
+            (RaySamples, valid) — valid marks rays hitting the volume.
+        """
+        starts, directions, near, far, valid = self.pose_ray_geometry(
+            ray_m, position, offsets)
+        return self._sample_geometry(starts, directions, near, far,
+                                     offsets, step, rng), valid
 
     def _sample_geometry(self, starts, directions, near, far, idx,
                          step, rng):

@@ -314,11 +314,16 @@ class Raycaster:
 
     def _frame_fn(self, sampler: RaySampler, chunk_size: int,
                   cull: bool = False, mesh=None,
-                  probe_subsample: int = 1):
+                  probe_subsample: int = 1, pose: bool = False):
         """Builds (and caches) the single-dispatch frame renderer for
-        one sampler geometry."""
+        one sampler geometry.
+
+        With ``pose`` the ``camera`` argument of the compiled function
+        is a ``(ray_m, position)`` calibration pytree instead of a rig
+        index — one executable serves ANY camera pose at the sampler's
+        resolution (see :meth:`render_frame_pose`)."""
         key = ("frame", id(sampler), chunk_size, self.fused, cull,
-               probe_subsample,
+               probe_subsample, pose,
                None if mesh is None else tuple(mesh.devices.flat))
         if key not in self._render_fns:
             import copy
@@ -361,13 +366,28 @@ class Raycaster:
                     object.__setattr__(traced, name, value)
                 return traced
 
+            if pose:
+                def ray_geom(traced, camera, offsets):
+                    return traced.pose_ray_geometry(camera[0],
+                                                    camera[1], offsets)
+
+                def sample_rays(traced, camera, offsets):
+                    return traced.sample_pose_rays(camera[0], camera[1],
+                                                   offsets)
+            else:
+                def ray_geom(traced, camera, offsets):
+                    return traced.camera_ray_geometry(camera, offsets)
+
+                def sample_rays(traced, camera, offsets):
+                    return traced.sample_camera_rays(camera, offsets)
+
             def render_chunk(geometry, model_arg, camera, off_chunk):
                 # gather-free: ray geometry is COMPUTED from the
                 # camera calibration tables (sample_camera_rays) —
                 # per-ray table gathers run at ~85 ns/row on TPU and
                 # dominated the old frame time (round-2 profile)
-                rays, _ = make_sampler(geometry).sample_camera_rays(
-                    camera, off_chunk)
+                rays, _ = sample_rays(make_sampler(geometry),
+                                      camera, off_chunk)
                 flat_pos = rays.positions.reshape(-1, 3)
                 flat_views = rays.view_directions.reshape(-1, 3)
                 color_o = apply_fn(model_arg, flat_pos, flat_views)
@@ -405,9 +425,9 @@ class Raycaster:
 
                 _, colors = jax.lax.scan(body, 0, off)
                 colors = colors.reshape(total, 3)[:rays_per_cam]
-                _, _, _, _, valid = make_sampler(
-                    geometry).camera_ray_geometry(
-                        camera, offsets[:rays_per_cam])
+                _, _, _, _, valid = ray_geom(
+                    make_sampler(geometry), camera,
+                    offsets[:rays_per_cam])
                 return finish(colors, valid)
 
             @jax.jit
@@ -443,8 +463,8 @@ class Raycaster:
                     coarse_off = (cy[:, None] * width
                                   + cx[None, :]).reshape(-1)
                     coarse_off = coarse_off.astype(jnp.int32)
-                    cs, cd, cn, cf, cvalid = \
-                        traced.camera_ray_geometry(camera, coarse_off)
+                    cs, cd, cn, cf, cvalid = ray_geom(traced, camera,
+                                                      coarse_off)
                     _, _, hit_c = traced._probe_cdf_geometry(
                         cs, cd, cn, cf)
                     grid = (hit_c & cvalid).reshape(coarse_h, coarse_w)
@@ -458,11 +478,11 @@ class Raycaster:
                     hit_fine = fine.reshape(-1)
                     reps = -(-total // rays_per_cam)
                     hit = jnp.tile(hit_fine, reps)[:total]
-                    _, _, _, _, valid = traced.camera_ray_geometry(
-                        camera, offsets)
+                    _, _, _, _, valid = ray_geom(traced, camera,
+                                                 offsets)
                 else:
-                    starts, dirs, near, far, valid = \
-                        traced.camera_ray_geometry(camera, offsets)
+                    starts, dirs, near, far, valid = ray_geom(
+                        traced, camera, offsets)
                     _, _, hit = traced._probe_cdf_geometry(
                         starts, dirs, near, far)
                 hit = hit & valid
@@ -565,6 +585,59 @@ class Raycaster:
                      else params)
         camera = jnp.asarray(camera % sampler.num_cameras, jnp.int32)
         return frame_fn(model_arg, camera, geometry)
+
+    def render_frame_pose(self, params, sampler: RaySampler, camera,
+                          chunk_size: int = 16384,
+                          color_space: str = "RGB",
+                          cull_empty: bool = True,
+                          mesh=None,
+                          probe_subsample: int = 2) -> np.ndarray:
+        """:meth:`render_frame` for an ARBITRARY camera pose.
+
+        ``camera`` is a :class:`CameraInfo` (any extrinsics/intrinsics
+        at the sampler's resolution) or a precomputed ``(ray_m,
+        position)`` calibration pair (``RaySampler.pose_calibration``).
+        The calibration enters the compiled frame function as a traced
+        argument, so the first call compiles ONE executable that then
+        serves every subsequent pose with zero recompiles — the
+        serving free-camera path (the rig-index path embeds only the
+        rig's calibration tables and cannot leave the rig). The pose
+        path with a rig camera's own calibration is bit-identical to
+        the indexed path (tests/test_pose_render.py)."""
+        image = np.asarray(self.render_frame_pose_async(
+            params, sampler, camera, chunk_size, cull_empty, mesh,
+            probe_subsample))
+        if color_space == "YCrCb":
+            import cv2
+            image = cv2.cvtColor(image, cv2.COLOR_YCrCb2RGB)
+        return image
+
+    def render_frame_pose_async(self, params, sampler: RaySampler,
+                                camera, chunk_size: int = 16384,
+                                cull_empty: bool = True,
+                                mesh=None,
+                                probe_subsample: int = 2) -> jnp.ndarray:
+        """:meth:`render_frame_async` for an arbitrary camera pose
+        (see :meth:`render_frame_pose`)."""
+        if not hasattr(camera, "extrinsics"):  # (ray_m, position) pair
+            calibration = tuple(camera)
+        else:
+            resolution = tuple(camera.resolution)
+            expected = (sampler.image_width, sampler.image_height)
+            if resolution != expected:
+                raise ValueError(
+                    f"pose resolution {resolution} != sampler "
+                    f"resolution {expected}")
+            calibration = RaySampler.pose_calibration(camera)
+        if mesh is not None:
+            chunk_size = -(-chunk_size // mesh.size) * mesh.size
+        cull = cull_empty and hasattr(sampler, "probe_cdf")
+        frame_fn, geometry = self._frame_fn(sampler, chunk_size, cull,
+                                            mesh, probe_subsample,
+                                            pose=True)
+        model_arg = (self._get_fused_weights(params) if self.fused
+                     else params)
+        return frame_fn(model_arg, calibration, geometry)
 
     def render_activations(self, params, sampler: RaySampler, index: int,
                            batch_size: int,

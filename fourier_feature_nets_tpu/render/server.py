@@ -13,6 +13,13 @@ serialized by an internal lock):
 
 - ``GET /info``                       — JSON rig/model description
 - ``GET /frame?camera=i&format=png``  — one frame (png/jpg/raw u8)
+- ``POST /pose``                      — one frame from an ARBITRARY
+  camera pose: JSON body ``{"extrinsics": 4x4, "intrinsics"?: 3x3,
+  "format"?: "png"}`` (intrinsics default to the rig's). The pose
+  enters the compiled frame function as a traced argument
+  (``render_frame_pose``), so after one warmup compile every pose
+  request costs a normal frame — free-camera serving, not limited to
+  the rig's precompiled cameras.
 - ``GET /stream.mjpeg?start=0&count=N&loop=1`` — multipart MJPEG
   stream rendered with async pipelining (steady-state throughput)
 - ``GET /stats``                      — JSON latency histogram +
@@ -69,6 +76,28 @@ class RenderServer:
         with self._lock:
             start = time.perf_counter()
             image = np.asarray(self._dispatch(camera))
+            self._latencies.append(time.perf_counter() - start)
+        return image
+
+    def frame_pose(self, extrinsics, intrinsics=None) -> np.ndarray:
+        """Renders one frame from an arbitrary camera pose.
+
+        ``extrinsics`` is the 4x4 camera-to-world matrix; intrinsics
+        default to the rig's first camera. One executable (compiled on
+        the first pose request) serves every pose at the rig's
+        resolution (``Raycaster.render_frame_pose``)."""
+        from ..cameras import CameraInfo, Resolution
+        rig = self.sampler.cameras[0]
+        if intrinsics is None:
+            intrinsics = rig.intrinsics
+        camera = CameraInfo.create(
+            "pose", Resolution(*rig.resolution), intrinsics, extrinsics)
+        with self._lock:
+            start = time.perf_counter()
+            image = np.asarray(self.raycaster.render_frame_pose_async(
+                self.params, self.sampler, camera,
+                chunk_size=self.chunk_size, cull_empty=self.cull_empty,
+                mesh=self.mesh))
             self._latencies.append(time.perf_counter() - start)
         return image
 
@@ -137,6 +166,38 @@ def _make_handler(server: RenderServer):
             self._send(200, "application/json",
                        json.dumps(payload).encode())
 
+        def _send_image(self, image, fmt):
+            if fmt == "raw":
+                self._send(200, "application/octet-stream",
+                           image.tobytes())
+            else:
+                ext = ".jpg" if fmt in ("jpg", "jpeg") else ".png"
+                ok, buf = cv2.imencode(
+                    ext, cv2.cvtColor(image, cv2.COLOR_RGB2BGR))
+                assert ok
+                mime = "image/jpeg" if ext == ".jpg" else "image/png"
+                self._send(200, mime, buf.tobytes())
+
+        def do_POST(self):  # noqa: N802 (http.server API)
+            url = urlparse(self.path)
+            try:
+                if url.path == "/pose":
+                    length = int(self.headers.get("Content-Length", 0))
+                    request = json.loads(self.rfile.read(length))
+                    extrinsics = np.asarray(request["extrinsics"],
+                                            np.float32)
+                    intrinsics = request.get("intrinsics")
+                    if intrinsics is not None:
+                        intrinsics = np.asarray(intrinsics, np.float32)
+                    image = server.frame_pose(extrinsics, intrinsics)
+                    self._send_image(image, request.get("format", "png"))
+                else:
+                    self._send(404, "text/plain", b"not found")
+            except (BrokenPipeError, ConnectionResetError):
+                pass
+            except Exception as error:  # surface errors to the client
+                self._send(500, "text/plain", str(error).encode())
+
         def do_GET(self):  # noqa: N802 (http.server API)
             url = urlparse(self.path)
             query = {k: v[-1] for k, v in parse_qs(url.query).items()}
@@ -150,24 +211,14 @@ def _make_handler(server: RenderServer):
                         "fused": server.raycaster.fused,
                         "culling": server.cull_empty and hasattr(
                             server.sampler, "probe_cdf"),
+                        "pose_endpoint": True,
                     })
                 elif url.path == "/stats":
                     self._send_json(server.stats())
                 elif url.path == "/frame":
                     camera = int(query.get("camera", 0))
                     fmt = query.get("format", "png")
-                    image = server.frame(camera)
-                    if fmt == "raw":
-                        self._send(200, "application/octet-stream",
-                                   image.tobytes())
-                    else:
-                        ext = ".jpg" if fmt in ("jpg", "jpeg") else ".png"
-                        ok, buf = cv2.imencode(
-                            ext, cv2.cvtColor(image, cv2.COLOR_RGB2BGR))
-                        assert ok
-                        mime = ("image/jpeg" if ext == ".jpg"
-                                else "image/png")
-                        self._send(200, mime, buf.tobytes())
+                    self._send_image(server.frame(camera), fmt)
                 elif url.path == "/stream.mjpeg":
                     start = int(query.get("start", 0))
                     count = int(query.get("count", server.num_cameras))

@@ -57,7 +57,7 @@ def test_render_frame_single_compile_across_cameras(cameras, bounds):
     sampler = RaySampler(bounds, cameras, num_samples=8)
     caster.render_frame(params, sampler, 0, chunk_size=100)
     fn, _ = caster._render_fns[
-        ("frame", id(sampler), 100, False, False, 2, None)]
+        ("frame", id(sampler), 100, False, False, 2, False, None)]
     sizes = fn._cache_size()
     caster.render_frame(params, sampler, 1, chunk_size=100)
     caster.render_frame(params, sampler, 2, chunk_size=100)

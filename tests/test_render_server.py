@@ -106,6 +106,34 @@ def test_stream_and_stats(server_url):
     assert sum(stats["histogram_ms"].values()) == stats["frames"]
 
 
+def test_pose_endpoint_matches_rig_frame(server_url):
+    """POST /pose with a rig camera's extrinsics == GET /frame."""
+    url, render_server = server_url
+    camera = render_server.sampler.cameras[2]
+    payload = json.dumps({
+        "extrinsics": np.asarray(camera.extrinsics).tolist(),
+        "intrinsics": np.asarray(camera.intrinsics).tolist(),
+        "format": "raw",
+    }).encode()
+    request = urllib.request.Request(url + "/pose", data=payload,
+                                     method="POST")
+    with urllib.request.urlopen(request, timeout=120) as response:
+        body = response.read()
+    posed = np.frombuffer(body, np.uint8).reshape(RES, RES, 3)
+    direct, _ = _get(url + "/frame?camera=2&format=raw")
+    np.testing.assert_array_equal(
+        posed, np.frombuffer(direct, np.uint8).reshape(RES, RES, 3))
+
+
+def test_pose_endpoint_bad_body_500(server_url):
+    url, _ = server_url
+    request = urllib.request.Request(
+        url + "/pose", data=b"{\"extrinsics\": 3}", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as err:
+        urllib.request.urlopen(request, timeout=120)
+    assert err.value.code == 500
+
+
 def test_unknown_path_404(server_url):
     url, _ = server_url
     with pytest.raises(urllib.error.HTTPError) as err:
