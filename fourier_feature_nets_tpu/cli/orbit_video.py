@@ -71,6 +71,15 @@ def _parse_args(argv=None):
                         default=1e-3,
                         help="Per-cell alpha threshold for "
                         "--density-grid")
+    parser.add_argument("--early-term", type=float, default=0.0,
+                        help="Early-ray-termination transmittance "
+                        "threshold (0 = off; needs an occupancy "
+                        "sampler). Measured: ~1.15x at 96 samples "
+                        "with eps 1e-2, neutral at 48 "
+                        "(docs/RESULTS.md)")
+    parser.add_argument("--early-split", type=int, default=0,
+                        help="Samples before the termination test "
+                        "(0 = half the budget)")
     parser.add_argument("--mp4", help="Also assemble the frames into "
                         "this MP4 file")
     parser.add_argument("--framerate", type=float, default=20,
@@ -159,7 +168,8 @@ def main(argv=None):
             progress.next()
             buffer = raycaster.render_frame_async(
                 params, sampler, frame, chunk_size=args.batch_size * 4,
-                mesh=mesh)
+                mesh=mesh, early_term=args.early_term,
+                early_split=args.early_split)
             if pending is not None:
                 write(frame - 1, pending)
             pending = buffer

@@ -1,6 +1,11 @@
 """TPU-native compute ops: the numeric core of the framework."""
 
-from .blend import calculate_blend_weights, exclusive_cumprod
+from .blend import (
+    blend_weights_prefix,
+    blend_weights_suffix,
+    calculate_blend_weights,
+    exclusive_cumprod,
+)
 from .encoding import (
     basic_encoding_matrix,
     fourier_encode,
@@ -24,6 +29,8 @@ from .sampling import (
 )
 
 __all__ = [
+    "blend_weights_prefix",
+    "blend_weights_suffix",
     "calculate_blend_weights",
     "exclusive_cumprod",
     "basic_encoding_matrix",

@@ -22,7 +22,11 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..datasets.ray_dataset import Mode, RayDataset, RenderResult
 from ..models.module import Model
 from ..render.ray_sampler import RaySampler, RaySamples
-from ..ops import calculate_blend_weights
+from ..ops import (
+    blend_weights_prefix,
+    blend_weights_suffix,
+    calculate_blend_weights,
+)
 from ..utils.optim import adam_init, adam_update, exponential_lr
 from ..utils.progress import LogEntry
 
@@ -314,16 +318,24 @@ class Raycaster:
 
     def _frame_fn(self, sampler: RaySampler, chunk_size: int,
                   cull: bool = False, mesh=None,
-                  probe_subsample: int = 1, pose: bool = False):
+                  probe_subsample: int = 1, pose: bool = False,
+                  early_term: float = 0.0, early_split: int = 0):
         """Builds (and caches) the single-dispatch frame renderer for
         one sampler geometry.
 
         With ``pose`` the ``camera`` argument of the compiled function
         is a ``(ray_m, position)`` calibration pytree instead of a rig
         index — one executable serves ANY camera pose at the sampler's
-        resolution (see :meth:`render_frame_pose`)."""
+        resolution (see :meth:`render_frame_pose`).
+
+        With ``early_term`` > 0 (requires ``cull``) the hit-ray pass
+        is split at sample ``early_split`` (default S//2): rays whose
+        transmittance after the prefix falls below ``early_term`` are
+        opaque — everything behind them is invisible up to a color
+        error bounded by the threshold itself — and skip the model on
+        their remaining samples (see ``frame_fn_culled_early``)."""
         key = ("frame", id(sampler), chunk_size, self.fused, cull,
-               probe_subsample, pose,
+               probe_subsample, pose, early_term, early_split,
                None if mesh is None else tuple(mesh.devices.flat))
         if key not in self._render_fns:
             import copy
@@ -430,13 +442,9 @@ class Raycaster:
                     offsets[:rays_per_cam])
                 return finish(colors, valid)
 
-            @jax.jit
-            def frame_fn_culled(model_arg, camera, geometry):
-                """Empty-space culling: probe the rays once (cheap),
-                partition hit-rays first, run the model only on chunks
-                that contain hits. Rays whose probes saw no occupied
-                cell integrate (conservatively dilated) empty space
-                and render as background without a model query.
+            def compute_hit(traced, camera):
+                """Probe phase of the culled paths: which of the
+                (padded-to-``total``) frame rays touch occupied space.
 
                 With ``probe_subsample`` s > 1 only every s-th pixel
                 in each image axis is probed (s^2 fewer probes) and
@@ -449,8 +457,6 @@ class Raycaster:
                 conservative superset of the per-ray test (round-3
                 measurement: identical hit sets on the bench scene,
                 probe phase ~4x cheaper at s=2)."""
-                traced = make_sampler(geometry)
-
                 offsets = jnp.arange(total, dtype=jnp.int32) % rays_per_cam
                 if probe_subsample > 1:
                     s = probe_subsample
@@ -485,15 +491,32 @@ class Raycaster:
                         traced, camera, offsets)
                     _, _, hit = traced._probe_cdf_geometry(
                         starts, dirs, near, far)
-                hit = hit & valid
-                num_hit = jnp.sum(hit.astype(jnp.int32))
-                # stable partition: hit rays keep their order up front
-                hit_slot = jnp.cumsum(hit.astype(jnp.int32)) - 1
-                miss_slot = (num_hit
-                             + jnp.cumsum((~hit).astype(jnp.int32)) - 1)
-                slot = jnp.where(hit, hit_slot, miss_slot)
+                return hit & valid
+
+            def partition(mask):
+                """Stable partition: mask-true rays keep their order
+                up front. Returns (true_count, perm: slot -> ray)."""
+                count = jnp.sum(mask.astype(jnp.int32))
+                true_slot = jnp.cumsum(mask.astype(jnp.int32)) - 1
+                false_slot = (count
+                              + jnp.cumsum((~mask).astype(jnp.int32))
+                              - 1)
+                slot = jnp.where(mask, true_slot, false_slot)
                 perm = jnp.zeros(total, jnp.int32).at[slot].set(
                     jnp.arange(total, dtype=jnp.int32))
+                return count, perm
+
+            @jax.jit
+            def frame_fn_culled(model_arg, camera, geometry):
+                """Empty-space culling: probe the rays once (cheap,
+                see ``compute_hit``), partition hit-rays first, run
+                the model only on chunks that contain hits. Rays whose
+                probes saw no occupied cell integrate (conservatively
+                dilated) empty space and render as background without
+                a model query."""
+                traced = make_sampler(geometry)
+                hit = compute_hit(traced, camera)
+                num_hit, perm = partition(hit)
 
                 def body(carry, k):
                     sl = jax.lax.dynamic_slice(perm, (k * chunk_size,),
@@ -516,7 +539,133 @@ class Raycaster:
                 return finish(unperm[:rays_per_cam],
                               hit[:rays_per_cam])
 
-            if cull:
+            k1 = early_split if early_split > 0 \
+                else sampler.num_samples // 2
+            if early_term > 0.0 and not 1 <= k1 < sampler.num_samples:
+                raise ValueError(
+                    f"early_split {k1} must be in "
+                    f"[1, {sampler.num_samples})")
+
+            def render_chunk_prefix(geometry, model_arg, camera,
+                                    off_chunk):
+                """First ``k1`` samples of each ray: partial color and
+                the outgoing transmittance (the early-term signal)."""
+                rays, _ = sample_rays(make_sampler(geometry),
+                                      camera, off_chunk)
+                pos = rays.positions[:, :k1, :].reshape(-1, 3)
+                views = rays.view_directions[:, :k1, :].reshape(-1, 3)
+                logits = apply_fn(model_arg, pos, views)
+                logits = logits.reshape(off_chunk.shape[0], k1, 4)
+                color = jax.nn.sigmoid(logits[..., :3])
+                opacity = jax.nn.softplus(logits[..., 3])
+                w, trans_out = blend_weights_prefix(rays.t_values,
+                                                    opacity)
+                return (jnp.sum(w[..., None] * color, axis=-2),
+                        trans_out)
+
+            def render_chunk_suffix(geometry, model_arg, camera,
+                                    off_chunk):
+                """Remaining samples of surviving rays; the returned
+                color is un-scaled (the frame combine multiplies by
+                the stored prefix transmittance, so no per-ray gather
+                is needed here). The t-values are recomputed from
+                geometry — re-deriving the chunk's probe CDF is pure
+                compute, while slicing stored (chunk, S) rows would be
+                a ~50 ns/element dynamic gather (CLAUDE.md)."""
+                rays, _ = sample_rays(make_sampler(geometry),
+                                      camera, off_chunk)
+                pos = rays.positions[:, k1:, :].reshape(-1, 3)
+                views = rays.view_directions[:, k1:, :].reshape(-1, 3)
+                logits = apply_fn(model_arg, pos, views)
+                logits = logits.reshape(off_chunk.shape[0], -1, 4)
+                color = jax.nn.sigmoid(logits[..., :3])
+                opacity = jax.nn.softplus(logits[..., 3])
+                w = blend_weights_suffix(rays.t_values, opacity)
+                return jnp.sum(w[..., None] * color, axis=-2)
+
+            if mesh is None:
+                run_prefix = render_chunk_prefix
+                run_suffix = render_chunk_suffix
+            else:
+                run_prefix = jax.shard_map(
+                    render_chunk_prefix, mesh=mesh,
+                    in_specs=(P(), P(), P(), P("data")),
+                    out_specs=(P("data"), P("data")), check_vma=False)
+                run_suffix = jax.shard_map(
+                    render_chunk_suffix, mesh=mesh,
+                    in_specs=(P(), P(), P(), P("data")),
+                    out_specs=P("data"), check_vma=False)
+
+            @jax.jit
+            def frame_fn_culled_early(model_arg, camera, geometry):
+                """Culled frame with early ray termination.
+
+                Two passes over the hit rays. Pass 1 evaluates the
+                model on each hit ray's first ``k1`` samples and
+                composites the prefix, yielding the transmittance
+                after them (``blend_weights_prefix``: bit-equal to
+                the prefix of the unsplit integral). Rays whose
+                transmittance fell below ``early_term`` are opaque —
+                every remaining sample's contribution is bounded by
+                the threshold — and are dropped. Pass 2 re-partitions
+                the survivors and evaluates only their remaining
+                samples, compositing with the suffix weights; the
+                frame-level combine ``C1 + T1 * C2`` needs no per-ray
+                gathers. Measured potential on the trained 800px
+                flagship (tools/early_term_stats.py): 62-69% of hit
+                rays saturate below 1e-3 by half the sample budget,
+                i.e. ~31% of hit-ray model FLOPs skippable at
+                eps=1e-3."""
+                traced = make_sampler(geometry)
+                hit = compute_hit(traced, camera)
+                num_hit, perm = partition(hit)
+
+                def body1(carry, k):
+                    sl = jax.lax.dynamic_slice(
+                        perm, (k * chunk_size,), (chunk_size,))
+                    off_chunk = sl % rays_per_cam
+                    out = jax.lax.cond(
+                        k * chunk_size < num_hit,
+                        lambda _: run_prefix(geometry, model_arg,
+                                             camera, off_chunk),
+                        lambda _: (jnp.zeros((chunk_size, 3)),
+                                   jnp.zeros(chunk_size)),
+                        0)
+                    return carry, out
+
+                _, (c1, t1) = jax.lax.scan(
+                    body1, 0, jnp.arange(num_chunks, dtype=jnp.int32))
+                colors1 = jnp.zeros((total, 3)).at[perm].set(
+                    c1.reshape(total, 3))
+                trans1 = jnp.zeros(total).at[perm].set(
+                    t1.reshape(total))
+
+                surviving = hit & (trans1 > early_term)
+                num_surv, perm2 = partition(surviving)
+
+                def body2(carry, k):
+                    sl = jax.lax.dynamic_slice(
+                        perm2, (k * chunk_size,), (chunk_size,))
+                    off_chunk = sl % rays_per_cam
+                    out = jax.lax.cond(
+                        k * chunk_size < num_surv,
+                        lambda _: run_suffix(geometry, model_arg,
+                                             camera, off_chunk),
+                        lambda _: jnp.zeros((chunk_size, 3)),
+                        0)
+                    return carry, out
+
+                _, c2 = jax.lax.scan(
+                    body2, 0, jnp.arange(num_chunks, dtype=jnp.int32))
+                colors2 = jnp.zeros((total, 3)).at[perm2].set(
+                    c2.reshape(total, 3))
+                combined = colors1 + trans1[:, None] * colors2
+                return finish(combined[:rays_per_cam],
+                              hit[:rays_per_cam])
+
+            if cull and early_term > 0.0:
+                frame_fn = frame_fn_culled_early
+            elif cull:
                 frame_fn = frame_fn_culled
 
             self._render_fns[key] = (frame_fn, arrays)
@@ -527,7 +676,9 @@ class Raycaster:
                      color_space: str = "RGB",
                      cull_empty: bool = True,
                      mesh=None,
-                     probe_subsample: int = 2) -> np.ndarray:
+                     probe_subsample: int = 2,
+                     early_term: float = 0.0,
+                     early_split: int = 0) -> np.ndarray:
         """Renders a full camera frame in ONE device dispatch.
 
         ``render_image`` (the parity path, ray_caster.py:140-159)
@@ -556,7 +707,7 @@ class Raycaster:
         """
         image = np.asarray(self.render_frame_async(
             params, sampler, camera, chunk_size, cull_empty, mesh,
-            probe_subsample))
+            probe_subsample, early_term, early_split))
         if color_space == "YCrCb":
             import cv2
             image = cv2.cvtColor(image, cv2.COLOR_YCrCb2RGB)
@@ -566,7 +717,9 @@ class Raycaster:
                            camera: int, chunk_size: int = 16384,
                            cull_empty: bool = True,
                            mesh=None,
-                           probe_subsample: int = 2) -> jnp.ndarray:
+                           probe_subsample: int = 2,
+                           early_term: float = 0.0,
+                           early_split: int = 0) -> jnp.ndarray:
         """Dispatches one frame and returns the DEVICE buffer without
         blocking — callers rendering sequences overlap frame f+1's
         compute with frame f's host transfer by dispatching first and
@@ -574,13 +727,22 @@ class Raycaster:
 
         ``probe_subsample``: cull-probe pixel stride (see
         ``_frame_fn``; 1 = probe every ray, 2 = default coarse raster
-        with conservative 3x3 dilation)."""
+        with conservative 3x3 dilation).
+
+        ``early_term``: transmittance threshold for early ray
+        termination (0 = off; needs culling). Rays opaque after
+        ``early_split`` samples (default S//2) skip the model on
+        their remaining samples; each skipped sample's color
+        contribution is bounded by the threshold (1e-3 ~ 0.26 of a
+        uint8 LSB)."""
         if mesh is not None:
             # per-device chunk rows must tile evenly
             chunk_size = -(-chunk_size // mesh.size) * mesh.size
         cull = cull_empty and hasattr(sampler, "probe_cdf")
         frame_fn, geometry = self._frame_fn(sampler, chunk_size, cull,
-                                            mesh, probe_subsample)
+                                            mesh, probe_subsample,
+                                            early_term=early_term,
+                                            early_split=early_split)
         model_arg = (self._get_fused_weights(params) if self.fused
                      else params)
         camera = jnp.asarray(camera % sampler.num_cameras, jnp.int32)
@@ -591,7 +753,9 @@ class Raycaster:
                           color_space: str = "RGB",
                           cull_empty: bool = True,
                           mesh=None,
-                          probe_subsample: int = 2) -> np.ndarray:
+                          probe_subsample: int = 2,
+                          early_term: float = 0.0,
+                          early_split: int = 0) -> np.ndarray:
         """:meth:`render_frame` for an ARBITRARY camera pose.
 
         ``camera`` is a :class:`CameraInfo` (any extrinsics/intrinsics
@@ -606,7 +770,7 @@ class Raycaster:
         the indexed path (tests/test_pose_render.py)."""
         image = np.asarray(self.render_frame_pose_async(
             params, sampler, camera, chunk_size, cull_empty, mesh,
-            probe_subsample))
+            probe_subsample, early_term, early_split))
         if color_space == "YCrCb":
             import cv2
             image = cv2.cvtColor(image, cv2.COLOR_YCrCb2RGB)
@@ -616,7 +780,9 @@ class Raycaster:
                                 camera, chunk_size: int = 16384,
                                 cull_empty: bool = True,
                                 mesh=None,
-                                probe_subsample: int = 2) -> jnp.ndarray:
+                                probe_subsample: int = 2,
+                                early_term: float = 0.0,
+                                early_split: int = 0) -> jnp.ndarray:
         """:meth:`render_frame_async` for an arbitrary camera pose
         (see :meth:`render_frame_pose`)."""
         if not hasattr(camera, "extrinsics"):  # (ray_m, position) pair
@@ -634,7 +800,9 @@ class Raycaster:
         cull = cull_empty and hasattr(sampler, "probe_cdf")
         frame_fn, geometry = self._frame_fn(sampler, chunk_size, cull,
                                             mesh, probe_subsample,
-                                            pose=True)
+                                            pose=True,
+                                            early_term=early_term,
+                                            early_split=early_split)
         model_arg = (self._get_fused_weights(params) if self.fused
                      else params)
         return frame_fn(model_arg, calibration, geometry)

@@ -43,13 +43,16 @@ class RenderServer:
 
     def __init__(self, raycaster, params, sampler,
                  chunk_size: int = 16384, cull_empty: bool = True,
-                 mesh=None):
+                 mesh=None, early_term: float = 0.0,
+                 early_split: int = 0):
         self.raycaster = raycaster
         self.params = params
         self.sampler = sampler
         self.chunk_size = chunk_size
         self.cull_empty = cull_empty
         self.mesh = mesh
+        self.early_term = early_term
+        self.early_split = early_split
         self.num_cameras = sampler.num_cameras
         self.resolution = (sampler.image_height, sampler.image_width)
         self._lock = threading.Lock()
@@ -61,7 +64,8 @@ class RenderServer:
         return self.raycaster.render_frame_async(
             self.params, self.sampler, camera,
             chunk_size=self.chunk_size, cull_empty=self.cull_empty,
-            mesh=self.mesh)
+            mesh=self.mesh, early_term=self.early_term,
+            early_split=self.early_split)
 
     def warmup(self) -> float:
         """Compiles the frame executable (first call is slow); returns
@@ -97,7 +101,8 @@ class RenderServer:
             image = np.asarray(self.raycaster.render_frame_pose_async(
                 self.params, self.sampler, camera,
                 chunk_size=self.chunk_size, cull_empty=self.cull_empty,
-                mesh=self.mesh))
+                mesh=self.mesh, early_term=self.early_term,
+                early_split=self.early_split))
             self._latencies.append(time.perf_counter() - start)
         return image
 

@@ -70,7 +70,8 @@ def test_pose_single_compile(cameras, bounds):
     caster.render_frame_pose(params, sampler, cameras[0],
                              chunk_size=100)
     fn, _ = caster._render_fns[
-        ("frame", id(sampler), 100, False, False, 2, True, None)]
+        ("frame", id(sampler), 100, False, False, 2, True, 0.0, 0,
+         None)]
     sizes = fn._cache_size()
     caster.render_frame_pose(params, sampler, cameras[1],
                              chunk_size=100)

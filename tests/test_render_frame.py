@@ -57,7 +57,8 @@ def test_render_frame_single_compile_across_cameras(cameras, bounds):
     sampler = RaySampler(bounds, cameras, num_samples=8)
     caster.render_frame(params, sampler, 0, chunk_size=100)
     fn, _ = caster._render_fns[
-        ("frame", id(sampler), 100, False, False, 2, False, None)]
+        ("frame", id(sampler), 100, False, False, 2, False, 0.0, 0,
+         None)]
     sizes = fn._cache_size()
     caster.render_frame(params, sampler, 1, chunk_size=100)
     caster.render_frame(params, sampler, 2, chunk_size=100)
@@ -163,6 +164,14 @@ def test_render_frame_multichip_matches_single(cameras, bounds):
     multi_c = caster.render_frame(params, occ, 0, chunk_size=64,
                                   mesh=mesh)
     np.testing.assert_array_equal(multi_c, single_c)
+
+    # early ray termination under shard_map
+    single_e = caster.render_frame(params, occ, 0, chunk_size=64,
+                                   early_term=1e-12)
+    multi_e = caster.render_frame(params, occ, 0, chunk_size=64,
+                                  early_term=1e-12, mesh=mesh)
+    np.testing.assert_array_equal(multi_e, single_e)
+    assert np.abs(single_e.astype(int) - single_c.astype(int)).max() <= 1
 
 
 def test_lazy_ray_tables(cameras, bounds):
