@@ -9,7 +9,8 @@ device-held geometry, one compile for every camera of a rig, and
 while frame f crosses the host boundary and encodes.
 
 Endpoints (stdlib http.server, thread-per-request; device work is
-serialized by an internal lock):
+owned by a single dispatcher thread that drains a FIFO request queue
+and pipelines across clients — see :class:`RenderServer`):
 
 - ``GET /info``                       — JSON rig/model description
 - ``GET /frame?camera=i&format=png``  — one frame (png/jpg/raw u8)
@@ -27,6 +28,7 @@ serialized by an internal lock):
 """
 
 import json
+import queue
 import threading
 import time
 from collections import deque
@@ -38,8 +40,30 @@ import numpy as np
 __all__ = ["RenderServer", "serve"]
 
 
+class _Request:
+    """One frame request in flight through the dispatcher."""
+
+    __slots__ = ("dispatch", "event", "result", "error")
+
+    def __init__(self, dispatch):
+        self.dispatch = dispatch
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
 class RenderServer:
-    """Model-resident frame renderer with latency accounting."""
+    """Model-resident frame renderer with latency accounting.
+
+    Multi-client scheduling: a single dispatcher thread owns the
+    device and drains a FIFO request queue, pipelining ACROSS
+    clients — request k+1 is dispatched before request k's frame is
+    fetched from the device, so the accelerator computes while the
+    host transfers/encodes, regardless of which connection each
+    request came from. Streams submit one frame at a time (bounded
+    in-flight window), so a looping MJPEG stream shares the device
+    fairly with concurrent ``/frame`` and ``/pose`` clients instead
+    of monopolizing it."""
 
     def __init__(self, raycaster, params, sampler,
                  chunk_size: int = 16384, cull_empty: bool = True,
@@ -55,8 +79,83 @@ class RenderServer:
         self.early_split = early_split
         self.num_cameras = sampler.num_cameras
         self.resolution = (sampler.image_height, sampler.image_width)
-        self._lock = threading.Lock()
         self._latencies = deque(maxlen=4096)
+        self._queue = queue.SimpleQueue()
+        self._fetch_queue = queue.SimpleQueue()
+        self._stopped = False
+        self._last_resolve = 0.0
+        self._dispatcher = threading.Thread(target=self._run_dispatch,
+                                            daemon=True)
+        self._resolver = threading.Thread(target=self._run_resolve,
+                                          daemon=True)
+        self._dispatcher.start()
+        self._resolver.start()
+
+    # ------------------------------------------------------------------
+    # dispatcher + resolver threads. The dispatcher issues device work
+    # the moment requests arrive (render_frame_*_async returns without
+    # blocking, so compute queues back-to-back on the accelerator);
+    # the resolver fetches results in dispatch order on its own
+    # thread, so a frame's device->host transfer and the next frame's
+    # compute overlap without any timing heuristics. In-flight depth
+    # is bounded by what clients keep queued (streams cap themselves
+    # at 2).
+
+    def _run_dispatch(self):
+        while True:
+            request = self._queue.get()
+            if request.dispatch is None:  # close()
+                self._fetch_queue.put((request, None, 0.0))
+                return
+            start = time.perf_counter()
+            try:
+                buffer = request.dispatch()
+            except Exception as error:  # surface to the client
+                request.error = error
+                request.event.set()
+                continue
+            self._fetch_queue.put((request, buffer, start))
+
+    def _run_resolve(self):
+        while True:
+            request, buffer, start = self._fetch_queue.get()
+            if request.dispatch is None:  # close() sentinel
+                request.event.set()
+                return
+            try:
+                request.result = np.asarray(buffer)
+            except Exception as error:
+                request.error = error
+            now = time.perf_counter()
+            # steady state this measures resolve-to-resolve throughput
+            # (back-to-back frames); for an isolated request it is the
+            # dispatch-to-fetch latency
+            self._latencies.append(now - max(start,
+                                             self._last_resolve))
+            self._last_resolve = now
+            request.event.set()
+
+    def _submit(self, dispatch) -> _Request:
+        if self._stopped:
+            raise RuntimeError("render server is closed")
+        request = _Request(dispatch)
+        self._queue.put(request)
+        return request
+
+    @staticmethod
+    def _wait(request) -> np.ndarray:
+        request.event.wait()
+        if request.error is not None:
+            raise request.error
+        return request.result
+
+    def close(self):
+        """Stops the dispatcher thread (resolving any pending frame)."""
+        if not self._stopped:
+            self._stopped = True
+            sentinel = _Request(None)
+            self._queue.put(sentinel)
+            sentinel.event.wait()
 
     # ------------------------------------------------------------------
 
@@ -71,17 +170,12 @@ class RenderServer:
         """Compiles the frame executable (first call is slow); returns
         the warmup seconds."""
         start = time.perf_counter()
-        with self._lock:
-            np.asarray(self._dispatch(0))
+        self.frame(0)
         return time.perf_counter() - start
 
     def frame(self, camera: int) -> np.ndarray:
         """Renders one frame synchronously; records latency."""
-        with self._lock:
-            start = time.perf_counter()
-            image = np.asarray(self._dispatch(camera))
-            self._latencies.append(time.perf_counter() - start)
-        return image
+        return self._wait(self._submit(lambda: self._dispatch(camera)))
 
     def frame_pose(self, extrinsics, intrinsics=None) -> np.ndarray:
         """Renders one frame from an arbitrary camera pose.
@@ -96,39 +190,29 @@ class RenderServer:
             intrinsics = rig.intrinsics
         camera = CameraInfo.create(
             "pose", Resolution(*rig.resolution), intrinsics, extrinsics)
-        with self._lock:
-            start = time.perf_counter()
-            image = np.asarray(self.raycaster.render_frame_pose_async(
+
+        def dispatch():
+            return self.raycaster.render_frame_pose_async(
                 self.params, self.sampler, camera,
                 chunk_size=self.chunk_size, cull_empty=self.cull_empty,
                 mesh=self.mesh, early_term=self.early_term,
-                early_split=self.early_split))
-            self._latencies.append(time.perf_counter() - start)
-        return image
+                early_split=self.early_split)
+
+        return self._wait(self._submit(dispatch))
 
     def frames(self, cameras):
-        """Pipelined frame generator: frame f+1 is dispatched before
-        frame f is fetched, overlapping device compute with the host
-        transfer/encode of the previous frame. Per-frame latency is
-        recorded at steady state (dispatch-to-dispatch)."""
-        with self._lock:
-            pending = None
-            last = None
-            for camera in cameras:
-                buffer = self._dispatch(camera)
-                if pending is not None:
-                    image = np.asarray(pending)
-                    now = time.perf_counter()
-                    self._latencies.append(now - last)
-                    last = now
-                    yield image
-                else:
-                    last = time.perf_counter()
-                pending = buffer
-            if pending is not None:
-                image = np.asarray(pending)
-                self._latencies.append(time.perf_counter() - last)
-                yield image
+        """Pipelined frame generator: keeps up to two requests in
+        flight so the dispatcher overlaps frame f+1's compute with
+        frame f's host transfer/encode, while OTHER clients' requests
+        can interleave between them (FIFO fairness)."""
+        in_flight = deque()
+        for camera in cameras:
+            in_flight.append(
+                self._submit(lambda c=camera: self._dispatch(c)))
+            if len(in_flight) >= 2:
+                yield self._wait(in_flight.popleft())
+        while in_flight:
+            yield self._wait(in_flight.popleft())
 
     def stats(self) -> dict:
         """Latency histogram (10 ms bins) + percentiles + FPS."""

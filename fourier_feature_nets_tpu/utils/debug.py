@@ -42,3 +42,9 @@ def init_from_env():
     if os.environ.get("FFN_TPU_DEBUG_NANS", "") not in ("", "0",
                                                         "false"):
         enable_debug_nans()
+    if os.environ.get("FFN_TPU_FORCE_CPU", "") not in ("", "0",
+                                                       "false"):
+        # pin compute to host CPU even when an accelerator plugin
+        # registered itself (some plugins ignore JAX_PLATFORMS); lets
+        # every CLI keep working through accelerator/tunnel outages
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])

@@ -14,6 +14,14 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+# The TPU plugin registers via sitecustomize when this var is set and
+# its backend INIT (not just compute) hangs through tunnel outages.
+# Registration already happened at interpreter start, so popping here
+# only shields SUBPROCESSES (multi-host workers); to run the suite
+# during an outage invoke pytest itself with the var unset:
+#   env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python -m pytest ...
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import jax  # noqa: E402
 

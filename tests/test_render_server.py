@@ -139,3 +139,58 @@ def test_unknown_path_404(server_url):
     with pytest.raises(urllib.error.HTTPError) as err:
         _get(url + "/nope")
     assert err.value.code == 404
+
+
+def test_concurrent_clients(server_url):
+    """Many simultaneous clients: every request completes and returns
+    the deterministic frame for its camera (the dispatcher serializes
+    device work, FIFO)."""
+    url, render_server = server_url
+    expected = {c: render_server.frame(c) for c in range(3)}
+    results = {}
+    errors = []
+
+    def fetch(i):
+        camera = i % 3
+        try:
+            body, _ = _get(f"{url}/frame?camera={camera}&format=raw")
+            results[i] = (camera,
+                          np.frombuffer(body, np.uint8).reshape(
+                              RES, RES, 3))
+        except Exception as error:  # noqa: BLE001 - collected
+            errors.append(error)
+
+    threads = [threading.Thread(target=fetch, args=(i,))
+               for i in range(12)]
+    for thread in threads:
+        thread.start()
+    for thread in threads:
+        thread.join(timeout=300)
+    assert not errors
+    assert len(results) == 12
+    for camera, image in results.values():
+        np.testing.assert_array_equal(image, expected[camera])
+
+
+def test_looping_stream_does_not_starve_frame_clients(server_url):
+    """A ``loop=1`` MJPEG stream must share the device with other
+    clients: frame requests issued while the endless stream runs
+    complete promptly (the stream submits one request at a time to
+    the FIFO queue; the old whole-stream lock starved them forever)."""
+    url, _ = server_url
+    stream = urllib.request.urlopen(url + "/stream.mjpeg?loop=1",
+                                    timeout=120)
+    try:
+        stream.read(100)  # stream is live
+        done = threading.Event()
+
+        def fetch():
+            _get(url + "/frame?camera=0&format=raw")
+            done.set()
+
+        thread = threading.Thread(target=fetch, daemon=True)
+        thread.start()
+        assert done.wait(timeout=120), \
+            "frame request starved by looping stream"
+    finally:
+        stream.close()
