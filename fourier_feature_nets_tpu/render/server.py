@@ -12,6 +12,9 @@ Endpoints (stdlib http.server, thread-per-request; device work is
 owned by a single dispatcher thread that drains a FIFO request queue
 and pipelines across clients — see :class:`RenderServer`):
 
+- ``GET /``                           — interactive browser viewer:
+  drag to orbit / wheel to zoom, driving ``POST /pose`` requests
+  (free camera), with a one-click switch to the MJPEG orbit stream
 - ``GET /info``                       — JSON rig/model description
 - ``GET /frame?camera=i&format=png``  — one frame (png/jpg/raw u8)
 - ``POST /pose``                      — one frame from an ARBITRARY
@@ -237,6 +240,113 @@ class RenderServer:
         }
 
 
+# Interactive viewer: drag = orbit, wheel = zoom. The pose math
+# mirrors utils.camera_paths.look_at_extrinsics (camera at a
+# spherical position looking at the origin, y-up, OpenCV x-flip) so
+# browser poses land exactly on the rig's convention.
+_VIEWER_HTML = """<!DOCTYPE html>
+<html><head><title>fourier_feature_nets_tpu viewer</title><style>
+body { background: #111; color: #ccc; font-family: monospace;
+       display: flex; flex-direction: column; align-items: center; }
+img { image-rendering: pixelated; border: 1px solid #444;
+      cursor: grab; touch-action: none; }
+#bar { margin: 8px; }
+button { background: #222; color: #ccc; border: 1px solid #555;
+         font-family: monospace; padding: 4px 10px; cursor: pointer; }
+</style></head><body>
+<div id="bar">
+  <button id="mode">stream orbit</button>
+  <span id="status">free camera: drag to orbit, wheel to zoom</span>
+</div>
+<img id="view" width="512" height="512" draggable="false">
+<script>
+const view = document.getElementById('view');
+const status_el = document.getElementById('status');
+let az = 0.6, alt = 0.45, dist = 4.0, streaming = false;
+let inflight = false, dirty = true;
+
+function pose() {
+  const ca = Math.cos(az), sa = Math.sin(az);
+  const cl = Math.cos(alt), sl = Math.sin(alt);
+  const p = [dist * sa * cl, dist * sl, dist * ca * cl];
+  const n = Math.hypot(...p);
+  const f = p.map(v => v / n);            // camera +z through camera
+  const up = [0, 1, 0];
+  let r = [up[1] * f[2] - up[2] * f[1],
+           up[2] * f[0] - up[0] * f[2],
+           up[0] * f[1] - up[1] * f[0]];
+  const rn = Math.hypot(...r);
+  r = r.map(v => v / rn);
+  const tu = [f[1] * r[2] - f[2] * r[1],
+              f[2] * r[0] - f[0] * r[2],
+              f[0] * r[1] - f[1] * r[0]];
+  // columns (right, -true_up, -forward, position): the x-flip
+  return [[r[0], -tu[0], -f[0], p[0]],
+          [r[1], -tu[1], -f[1], p[1]],
+          [r[2], -tu[2], -f[2], p[2]],
+          [0, 0, 0, 1]];
+}
+
+async function refresh() {
+  if (inflight || streaming) { return; }
+  inflight = true; dirty = false;
+  const t0 = performance.now();
+  try {
+    const resp = await fetch('/pose', {method: 'POST',
+      body: JSON.stringify({extrinsics: pose(), format: 'jpg'})});
+    const blob = await resp.blob();
+    const url = URL.createObjectURL(blob);
+    const old = view.src;
+    view.src = url;
+    if (old.startsWith('blob:')) { URL.revokeObjectURL(old); }
+    status_el.textContent = `pose ${(performance.now() - t0).toFixed(0)} ms` +
+      `  az ${az.toFixed(2)} alt ${alt.toFixed(2)} dist ${dist.toFixed(2)}`;
+  } catch (e) { status_el.textContent = 'error: ' + e; }
+  inflight = false;
+  if (dirty) { refresh(); }
+}
+
+let drag = null;
+view.addEventListener('pointerdown', e => {
+  drag = [e.clientX, e.clientY]; view.setPointerCapture(e.pointerId);
+});
+view.addEventListener('pointermove', e => {
+  if (!drag || streaming) { return; }
+  az -= (e.clientX - drag[0]) * 0.01;
+  alt = Math.min(1.4, Math.max(-1.4, alt + (e.clientY - drag[1]) * 0.01));
+  drag = [e.clientX, e.clientY];
+  dirty = true; refresh();
+});
+view.addEventListener('pointerup', () => { drag = null; });
+view.addEventListener('wheel', e => {
+  if (streaming) { return; }
+  e.preventDefault();
+  dist = Math.min(12, Math.max(1.2, dist * (1 + e.deltaY * 0.001)));
+  dirty = true; refresh();
+}, {passive: false});
+
+document.getElementById('mode').addEventListener('click', () => {
+  streaming = !streaming;
+  document.getElementById('mode').textContent =
+    streaming ? 'free camera' : 'stream orbit';
+  if (streaming) {
+    status_el.textContent = 'streaming the precompiled orbit rig';
+    view.src = '/stream.mjpeg?loop=1';
+  } else {
+    status_el.textContent = 'free camera: drag to orbit, wheel to zoom';
+    view.src = ''; dirty = true; refresh();
+  }
+});
+
+fetch('/info').then(r => r.json()).then(info => {
+  view.width = Math.max(info.width, 256);
+  view.height = Math.max(info.height, 256);
+  refresh();
+});
+</script></body></html>
+"""
+
+
 def _make_handler(server: RenderServer):
     import cv2
 
@@ -291,7 +401,10 @@ def _make_handler(server: RenderServer):
             url = urlparse(self.path)
             query = {k: v[-1] for k, v in parse_qs(url.query).items()}
             try:
-                if url.path == "/info":
+                if url.path == "/":
+                    self._send(200, "text/html; charset=utf-8",
+                               _VIEWER_HTML.encode())
+                elif url.path == "/info":
                     self._send_json({
                         "num_cameras": server.num_cameras,
                         "height": server.resolution[0],

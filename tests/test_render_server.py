@@ -141,6 +141,37 @@ def test_unknown_path_404(server_url):
     assert err.value.code == 404
 
 
+def test_viewer_page(server_url):
+    url, _ = server_url
+    body, headers = _get(url + "/")
+    assert headers["Content-Type"].startswith("text/html")
+    page = body.decode()
+    assert "/pose" in page and "/stream.mjpeg" in page
+
+
+def test_viewer_pose_math_matches_camera_paths():
+    """The viewer JS builds extrinsics client-side; its formula must
+    equal utils.camera_paths.look_at_extrinsics for the same orbit
+    position (replicated here in NumPy)."""
+    from fourier_feature_nets_tpu.utils.camera_paths import (
+        look_at_extrinsics,
+    )
+    for az, alt, dist in ((0.6, 0.45, 4.0), (-2.2, -0.8, 2.5),
+                          (3.1, 0.0, 6.0)):
+        p = np.array([dist * np.sin(az) * np.cos(alt),
+                      dist * np.sin(alt),
+                      dist * np.cos(az) * np.cos(alt)])
+        f = p / np.linalg.norm(p)
+        up = np.array([0.0, 1.0, 0.0])
+        r = np.cross(up, f)
+        r = r / np.linalg.norm(r)
+        tu = np.cross(f, r)
+        js = np.eye(4)
+        js[:3, 0], js[:3, 1], js[:3, 2], js[:3, 3] = r, -tu, -f, p
+        np.testing.assert_allclose(js, look_at_extrinsics(p, up),
+                                   atol=1e-12)
+
+
 def test_concurrent_clients(server_url):
     """Many simultaneous clients: every request completes and returns
     the deterministic frame for its camera (the dispatcher serializes
