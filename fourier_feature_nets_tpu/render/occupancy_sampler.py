@@ -357,11 +357,13 @@ class OccupancyGridSampler(RaySampler):
             self.far[idx], idx, step, rng)
 
     def _sample_geometry(self, starts, directions, near, far, idx,
-                         step, rng):
+                         step, rng, cdf_rows=None):
         """Occupancy sampling on explicit geometry — the gather-free
         whole-frame path enters here via
         :meth:`RaySampler.sample_camera_rays`."""
-        del step  # no annealing on the occupancy path
+        del step, cdf_rows  # no annealing / focus tables here: sample
+        # placement is fully geometry-derived (probe CDF), so the
+        # free-pose path needs no per-rig data
         edges, cdf, _ = self._probe_cdf_geometry(starts, directions,
                                                  near, far)
         t_values = self.t_from_cdf(edges, cdf, rng, idx)

@@ -89,9 +89,17 @@ class OctreeRaySampler(RaySampler):
         """Samples rays with octree-guided depth placement
         (pure/jit-safe)."""
         idx = jnp.asarray(idx)
-        starts = self.starts[idx]
-        directions = self.directions[idx]
+        return self._sample_geometry(
+            self.starts[idx], self.directions[idx], self.near[idx],
+            self.far[idx], idx, step, rng)
 
+    def _sample_geometry(self, starts, directions, near, far, idx,
+                         step, rng, cdf_rows=None):
+        """Octree-guided sampling on explicit ray geometry, so the
+        whole-frame and free-pose paths (``sample_camera_rays`` /
+        ``sample_pose_rays``) place samples exactly like the indexed
+        :meth:`sample` instead of falling back to uniform spacing."""
+        del step, cdf_rows  # no annealing / focus tables on this path
         path = device_batch_intersect(
             self._node_index, self._leaf_index, starts, directions,
             scale=self._tree_scale, max_depth=self._tree_depth,
@@ -103,8 +111,6 @@ class OctreeRaySampler(RaySampler):
                                       self.num_samples, quantile_rng,
                                       self.empty_weight)
         # clamp into the valid near/far range of the render volume
-        near = self.near[idx]
-        far = self.far[idx]
         t_values = jnp.clip(t_values, near[:, None], far[:, None])
 
         positions = (starts[:, None, :]

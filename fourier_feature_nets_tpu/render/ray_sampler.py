@@ -340,16 +340,51 @@ class RaySampler:
         offset as the ray id (free poses have no global ray index);
         eval renders pass no rng, where the id is inert.
 
+        With focus sampling the per-ray CDFs are computed ON THE FLY
+        by sweeping the opacity model along the pose's rays — the
+        precomputed tables cover only the rig's pixels, so indexing
+        them by offset would silently sample an unrelated camera's
+        distribution. This adds ``num_focus_samples`` opacity-model
+        evaluations per ray per frame (the rig path amortizes the
+        same sweep at construction, ray_sampler.py:161-166).
+
         Returns:
             (RaySamples, valid) — valid marks rays hitting the volume.
         """
         starts, directions, near, far, valid = self.pose_ray_geometry(
             ray_m, position, offsets)
+        cdf_rows = None
+        if self.focus_sampling:
+            cdf_rows = self._cdfs_for_geometry(starts, directions,
+                                               near, far)
         return self._sample_geometry(starts, directions, near, far,
-                                     offsets, step, rng), valid
+                                     offsets, step, rng,
+                                     cdf_rows=cdf_rows), valid
+
+    def _cdfs_for_geometry(self, starts, directions, near, far):
+        """Focus CDFs for explicit ray geometry (jit-safe): the
+        opacity model's softplus density on a ``num_focus_samples``
+        linspace grid per ray (ray_sampler.py:59-67, 234-269
+        semantics, same math as :meth:`_precompute_cdfs`)."""
+        model = self.opacity_model
+        num_grid = self.num_focus_samples
+        t_values = batch_linspace(near, far, num_grid)
+        positions = (starts[:, None, :]
+                     + t_values[..., None] * directions[:, None, :])
+        flat_pos = positions.reshape(-1, 3)
+        if model.use_view:
+            views = jnp.broadcast_to(
+                directions[:, None, :],
+                positions.shape).reshape(-1, 3)
+            logits = model.apply(self.opacity_params, flat_pos,
+                                 views)[:, -1]
+        else:
+            logits = model.apply(self.opacity_params, flat_pos)[:, -1]
+        opacity = jax.nn.softplus(logits).reshape(-1, num_grid)
+        return determine_cdf(t_values, opacity)
 
     def _sample_geometry(self, starts, directions, near, far, idx,
-                         step, rng):
+                         step, rng, cdf_rows=None):
         near0, far0 = near, far  # pre-anneal bounds (CDF domain)
         if step is not None and self.num_anneal_steps > 0:
             near, far = anneal_near_far(near, far, step,
@@ -385,8 +420,10 @@ class RaySampler:
                                     jitter=uniform_jitter)
 
         if self.focus_sampling:
+            if cdf_rows is None:
+                cdf_rows = self.cdfs[idx]
             focus_t = inverse_cdf_t_values(
-                near0, far0, self.cdfs[idx],
+                near0, far0, cdf_rows,
                 self.num_focus_samples, self.num_focus_samples,
                 quantiles=focus_quantiles)
             t_values = merge_sorted(t_values, focus_t)

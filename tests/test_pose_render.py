@@ -106,6 +106,63 @@ def test_pose_culled_matches_indexed(cameras, bounds):
     np.testing.assert_array_equal(posed, indexed)
 
 
+def test_novel_pose_focus_sampling_on_the_fly_cdfs(cameras, bounds):
+    """Focus-sampling sampler (opacity model CDFs): the pose path must
+    compute the pose rays' OWN CDFs on the fly — indexing the rig's
+    precomputed tables by pixel offset would silently reuse camera 0's
+    distribution. Cross-checked against a fresh sampler built around
+    the novel camera (whose precomputed tables ARE that camera's)."""
+    opacity = Voxels(side=8, scale=1.0)
+    op_params = dict(opacity.init(jax.random.PRNGKey(7)))
+    op_params["voxels"] = op_params["voxels"].at[..., 3].add(2.0)
+
+    model = NeRF(num_layers=2, num_channels=16, max_log_scale_pos=3.0,
+                 num_freq_pos=4, max_log_scale_view=1.0,
+                 num_freq_view=2, skips=[1], include_inputs=True)
+    params = model.init(jax.random.PRNGKey(1))
+    caster = ffn.Raycaster(model)
+    rig = RaySampler(bounds, cameras[:3], num_samples=8,
+                     opacity_model=opacity, opacity_params=op_params)
+    assert rig.focus_sampling
+    novel = cameras[3]
+    posed = caster.render_frame_pose(params, rig, novel,
+                                     chunk_size=112)
+    fresh = RaySampler(bounds, [novel], num_samples=8,
+                       opacity_model=opacity,
+                       opacity_params=op_params)
+    ref = caster.render_frame(params, fresh, 0, chunk_size=112)
+    assert np.abs(posed.astype(int) - ref.astype(int)).max() <= 1
+    # and the rig-camera pose still matches the indexed frame
+    indexed = caster.render_frame(params, rig, 1, chunk_size=112)
+    posed_rig = caster.render_frame_pose(params, rig, cameras[1],
+                                         chunk_size=112)
+    assert np.abs(posed_rig.astype(int)
+                  - indexed.astype(int)).max() <= 1
+
+
+def test_octree_sampler_frame_matches_indexed_sample(cameras, bounds):
+    """OctreeRaySampler places frame/pose samples via the same tree
+    traversal as the indexed sample() path (regression: the frame
+    path used to fall back to uniform spacing)."""
+    from fourier_feature_nets_tpu.octree import OcTree
+    from fourier_feature_nets_tpu.render.octree_sampler import (
+        OctreeRaySampler,
+    )
+    rng = np.random.default_rng(3)
+    points = rng.normal([0.4, 0.0, 0.0], 0.1, (3000, 3))
+    anchors = np.array([[-1, -1, -1], [1, 1, 1]], np.float64)
+    cloud = np.concatenate([points, anchors]).astype(np.float32)
+    tree = OcTree.build_from_samples(cloud, depth=4, min_leaf_size=2)
+    sampler = OctreeRaySampler(tree, cameras[:2], num_samples=8,
+                               bounds=bounds)
+    model = Voxels(side=8, scale=1.0)
+    params = model.init(jax.random.PRNGKey(0))
+    caster = ffn.Raycaster(model)
+    ref = caster.render_image(params, sampler, 0, batch_size=64)
+    out = caster.render_frame(params, sampler, 0, chunk_size=112)
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
 def test_pose_resolution_mismatch_raises(cameras, bounds):
     model = Voxels(side=8, scale=1.0)
     params = model.init(jax.random.PRNGKey(0))
