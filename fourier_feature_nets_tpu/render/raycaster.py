@@ -334,6 +334,16 @@ class Raycaster:
         opaque — everything behind them is invisible up to a color
         error bounded by the threshold itself — and skip the model on
         their remaining samples (see ``frame_fn_culled_early``)."""
+        if early_term > 0.0 and not cull:
+            raise ValueError(
+                "early_term requires empty-space culling (a sampler "
+                "with probe_cdf, e.g. OccupancyGridSampler, and "
+                "cull_empty=True) — the termination pass reuses the "
+                "culled path's hit partition")
+        if early_term <= 0.0:
+            early_split = 0  # inert — normalize so identical frame
+            # executables share one cache entry (a spurious key costs
+            # a full TPU compile)
         key = ("frame", id(sampler), chunk_size, self.fused, cull,
                probe_subsample, pose, early_term, early_split,
                None if mesh is None else tuple(mesh.devices.flat))

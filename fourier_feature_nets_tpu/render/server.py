@@ -85,6 +85,7 @@ class RenderServer:
         self._latencies = deque(maxlen=4096)
         self._queue = queue.SimpleQueue()
         self._fetch_queue = queue.SimpleQueue()
+        self._submit_lock = threading.Lock()
         self._stopped = False
         self._last_resolve = 0.0
         self._dispatcher = threading.Thread(target=self._run_dispatch,
@@ -139,10 +140,14 @@ class RenderServer:
             request.event.set()
 
     def _submit(self, dispatch) -> _Request:
-        if self._stopped:
-            raise RuntimeError("render server is closed")
-        request = _Request(dispatch)
-        self._queue.put(request)
+        # lock so a submit cannot slip in behind close()'s sentinel
+        # (the dispatcher exits at the sentinel and a later request
+        # would never resolve)
+        with self._submit_lock:
+            if self._stopped:
+                raise RuntimeError("render server is closed")
+            request = _Request(dispatch)
+            self._queue.put(request)
         return request
 
     @staticmethod
@@ -154,11 +159,13 @@ class RenderServer:
 
     def close(self):
         """Stops the dispatcher thread (resolving any pending frame)."""
-        if not self._stopped:
+        with self._submit_lock:
+            if self._stopped:
+                return
             self._stopped = True
             sentinel = _Request(None)
             self._queue.put(sentinel)
-            sentinel.event.wait()
+        sentinel.event.wait()
 
     # ------------------------------------------------------------------
 
@@ -171,9 +178,12 @@ class RenderServer:
 
     def warmup(self) -> float:
         """Compiles the frame executable (first call is slow); returns
-        the warmup seconds."""
+        the warmup seconds. The compile time is dropped from the
+        latency stats (it would dominate every percentile until 4096
+        real frames aged it out)."""
         start = time.perf_counter()
         self.frame(0)
+        self._latencies.clear()
         return time.perf_counter() - start
 
     def frame(self, camera: int) -> np.ndarray:
@@ -294,6 +304,10 @@ async function refresh() {
   try {
     const resp = await fetch('/pose', {method: 'POST',
       body: JSON.stringify({extrinsics: pose(), format: 'jpg'})});
+    if (!resp.ok) {
+      status_el.textContent = 'server error: ' + await resp.text();
+      inflight = false; return;
+    }
     const blob = await resp.blob();
     const url = URL.createObjectURL(blob);
     const old = view.src;

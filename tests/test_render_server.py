@@ -134,6 +134,19 @@ def test_pose_endpoint_bad_body_500(server_url):
     assert err.value.code == 500
 
 
+def test_close_rejects_new_requests(server_url):
+    """close() drains the dispatcher and later submits fail fast
+    instead of hanging behind the shutdown sentinel."""
+    _, render_server = server_url
+    extra = RenderServer(render_server.raycaster, render_server.params,
+                         render_server.sampler, chunk_size=128)
+    assert extra.frame(0).shape == (RES, RES, 3)
+    extra.close()
+    extra.close()  # idempotent
+    with pytest.raises(RuntimeError, match="closed"):
+        extra.frame(0)
+
+
 def test_unknown_path_404(server_url):
     url, _ = server_url
     with pytest.raises(urllib.error.HTTPError) as err:

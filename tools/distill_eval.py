@@ -12,15 +12,14 @@ Usage:
 """
 
 import sys
-import time
 
 import numpy as np
 
-
-def psnr(a, b):
-    mse = np.mean(np.square(a.astype(np.float32) / 255.0
-                            - b.astype(np.float32) / 255.0))
-    return -10.0 * np.log10(max(mse, 1e-10))
+from tools._eval_common import (
+    load_val_gt,
+    pipelined_frame_seconds,
+    psnr,
+)
 
 
 def main():
@@ -41,13 +40,7 @@ def main():
     dataset = ImageDataset.load(scene_path, "val", num_samples=128)
     cameras = dataset.cameras
     bounds = dataset.sampler.bounds
-    data = np.load(scene_path)
-    train_count = int(data["split_counts"][0])
-    val_count = int(data["split_counts"][1])
-    gt = data["images"][train_count:train_count + val_count]
-    gt_rgb = (gt[..., :3].astype(np.float32)
-              * (gt[..., 3:4].astype(np.float32) / 255.0)
-              ).astype(np.uint8)
+    gt_rgb = load_val_gt(scene_path)
 
     ob = np.diag([2.0, 2.0, 2.0, 1.0]).astype(np.float32)
     res = dataset.sampler.image_width
@@ -86,19 +79,9 @@ def main():
         sampler = OccupancyGridSampler.from_model(
             model, params, orbit_cams, prod_samples, bounds=ob,
             grid_resolution=64, num_probes=32)
-        np.asarray(caster.render_frame_async(params, sampler, 0))
-        best = float("inf")
-        for _ in range(3):
-            start = time.perf_counter()
-            pending = None
-            for frame in range(6):
-                buf = caster.render_frame_async(params, sampler,
-                                                frame + 1)
-                if pending is not None:
-                    np.asarray(pending)
-                pending = buf
-            np.asarray(pending)
-            best = min(best, (time.perf_counter() - start) / 6)
+        best = pipelined_frame_seconds(
+            lambda frame: caster.render_frame_async(params, sampler,
+                                                    frame))
         print(f"  orbit frame ({res}px, {prod_samples} smp): "
               f"{best * 1e3:6.1f} ms ({1.0 / best:.2f} FPS/chip)")
         return best

@@ -11,9 +11,10 @@ Usage:
 """
 
 import sys
-import time
 
 import numpy as np
+
+from tools._eval_common import pipelined_frame_seconds
 
 
 def main():
@@ -41,25 +42,11 @@ def main():
     import jax.numpy as jnp
     caster = Raycaster(model, compute_dtype=jnp.bfloat16, fused=True)
 
-    def loop(early_term, early_split, rounds=3, num_frames=6):
-        np.asarray(caster.render_frame_async(
-            params, sampler, 0, early_term=early_term,
-            early_split=early_split))  # compile
-        best = float("inf")
-        for _ in range(rounds):
-            start = time.perf_counter()
-            pending = None
-            for frame in range(num_frames):
-                buf = caster.render_frame_async(
-                    params, sampler, frame + 1,
-                    early_term=early_term, early_split=early_split)
-                if pending is not None:
-                    np.asarray(pending)
-                pending = buf
-            np.asarray(pending)
-            best = min(best,
-                       (time.perf_counter() - start) / num_frames)
-        return best
+    def loop(early_term, early_split):
+        return pipelined_frame_seconds(
+            lambda frame: caster.render_frame_async(
+                params, sampler, frame, early_term=early_term,
+                early_split=early_split))
 
     base_ms = loop(0.0, 0) * 1e3
     print(f"baseline (no early term): {base_ms:.1f} ms/frame")

@@ -87,11 +87,13 @@ def main():
                       2 * num_samples // 3})
 
     @jax.jit
-    def chunk_stats(weights, offsets):
+    def chunk_stats(weights, offsets, real):
         starts, dirs, near, far, valid = sampler.camera_ray_geometry(
             0, offsets)
         _, _, hit = sampler._probe_cdf_geometry(starts, dirs, near, far)
-        hit = hit & valid
+        # mask padded rows of the final partial chunk (they duplicate
+        # ray 0 and would inflate every fraction by up to pad/chunk)
+        hit = hit & valid & (jnp.arange(offsets.shape[0]) < real)
         rays, _ = sampler.sample_camera_rays(0, offsets)
         flat_pos = rays.positions.reshape(-1, 3)
         flat_views = rays.view_directions.reshape(-1, 3)
@@ -124,11 +126,12 @@ def main():
 
     acc = np.zeros(1 + len(eps_list) + len(k1_list) * len(eps_list))
     for start in range(0, total, chunk):
-        offsets = jnp.arange(start, min(start + chunk, total),
-                             dtype=jnp.int32)
-        if offsets.shape[0] < chunk:
-            offsets = jnp.pad(offsets, (0, chunk - offsets.shape[0]))
-        acc += np.asarray(chunk_stats(weights, offsets))
+        real = min(start + chunk, total) - start
+        offsets = jnp.arange(start, start + real, dtype=jnp.int32)
+        if real < chunk:
+            offsets = jnp.pad(offsets, (0, chunk - real))
+        acc += np.asarray(chunk_stats(weights, offsets,
+                                      jnp.int32(real)))
 
     num_hit = acc[0]
     print(f"scene: {res}x{res}, {num_samples} samples, "

@@ -14,11 +14,7 @@ import sys
 
 import numpy as np
 
-
-def psnr(a, b):
-    mse = np.mean(np.square(a.astype(np.float32) / 255.0
-                            - b.astype(np.float32) / 255.0))
-    return -10.0 * np.log10(max(mse, 1e-10))
+from tools._eval_common import load_val_gt, psnr
 
 
 def main():
@@ -40,14 +36,7 @@ def main():
     bounds = dataset.sampler.bounds
     caster = Raycaster(model, compute_dtype=jnp.bfloat16, fused=True)
 
-    # GT: RGBA over black (the renderers output black background)
-    data = np.load(scene_path)
-    train_count = int(data["split_counts"][0])
-    val_count = int(data["split_counts"][1])
-    gt = data["images"][train_count:train_count + val_count]
-    gt_rgb = (gt[..., :3].astype(np.float32)
-              * (gt[..., 3:4].astype(np.float32) / 255.0)
-              ).astype(np.uint8)
+    gt_rgb = load_val_gt(scene_path)
 
     def report(label, sampler):
         scores = []
