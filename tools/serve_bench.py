@@ -57,6 +57,32 @@ def main():
     frames = body.count(b"--ffnframe")
     with urllib.request.urlopen(url + "/stats", timeout=60) as resp:
         stats = json.loads(resp.read())
+
+    # free-camera latency: synchronous POST /pose requests at novel
+    # poses (first one compiles the pose executable — excluded)
+    import time
+
+    from fourier_feature_nets_tpu.utils.camera_paths import (
+        look_at_extrinsics,
+    )
+    rng = np.random.default_rng(0)
+    pose_ms = []
+    for index in range(13):
+        azimuth = rng.uniform(0, 2 * np.pi)
+        altitude = rng.uniform(0.1, 0.9)
+        position = 4.0 * np.array([
+            np.sin(azimuth) * np.cos(altitude), np.sin(altitude),
+            np.cos(azimuth) * np.cos(altitude)])
+        extrinsics = look_at_extrinsics(position, [0.0, 1.0, 0.0])
+        payload = json.dumps({"extrinsics": extrinsics.tolist(),
+                              "format": "raw"}).encode()
+        request = urllib.request.Request(url + "/pose", data=payload,
+                                         method="POST")
+        start = time.perf_counter()
+        with urllib.request.urlopen(request, timeout=600) as resp:
+            resp.read()
+        if index > 0:  # skip the compile
+            pose_ms.append((time.perf_counter() - start) * 1e3)
     http.shutdown()
 
     print(f"streamed {frames} frames at {res}x{res}, "
@@ -64,6 +90,10 @@ def main():
     print(json.dumps(stats, indent=2))
     print(f"steady-state: {stats['fps']:.2f} FPS/chip "
           f"(p50 {stats['p50_ms']:.0f} ms, p99 {stats['p99_ms']:.0f} ms)")
+    print(f"free-pose request latency: p50 "
+          f"{np.percentile(pose_ms, 50):.0f} ms, p90 "
+          f"{np.percentile(pose_ms, 90):.0f} ms over "
+          f"{len(pose_ms)} novel poses")
 
 
 if __name__ == "__main__":
