@@ -680,9 +680,17 @@ md("""
 `serve_model.py` (render/server.py) keeps the model resident and
 serves frames over HTTP — `/frame?camera=i`, a pipelined MJPEG stream
 (`render_frame_async` overlaps device compute with the host fetch
-and JPEG encode), and `/stats` with a latency histogram. A
-hyperparameter search with the HyperDrive-equivalent Bayesian
-optimizer is one command:
+and JPEG encode), `/stats` with a latency histogram, and a FREE
+camera: `POST /pose` renders any extrinsics/intrinsics through ONE
+shared compile (the pose calibration `R @ K^-1, position` enters the
+compiled frame function as a traced argument —
+`Raycaster.render_frame_pose`). Open `GET /` in a browser for the
+interactive viewer (drag to orbit, wheel to zoom). Concurrent
+clients share the device through a FIFO dispatcher that pipelines
+across requests. For >=96-sample quality renders, `--early-term
+1e-2` skips the model on rays whose transmittance has saturated
+(measured 1.15x; docs/RESULTS.md). A hyperparameter search with the
+HyperDrive-equivalent Bayesian optimizer is one command:
 
 ```bash
 python serve_model.py results/nerf/nerf.npz 800 --density-grid
