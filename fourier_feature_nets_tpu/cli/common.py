@@ -163,7 +163,10 @@ def write_run_log(path, args, log):
 
 def resolve_data_path(path: str) -> str:
     """Resolves a dataset path; 'synthetic[:<res>]' generates the
-    built-in synthetic scene (air-gapped replacement for downloads)."""
+    built-in synthetic scene (air-gapped replacement for downloads).
+    A non-existent path is resolved against the data cache when a
+    cached copy exists (where ``ImageDataset.load`` downloads to) so
+    callers that ALSO open the NPZ directly read the same file."""
     if path.startswith("synthetic"):
         from ..datasets.synthetic import load_or_generate
         from ..utils.assets import default_data_dir
@@ -171,4 +174,10 @@ def resolve_data_path(path: str) -> str:
         res = int(parts[1]) if len(parts) > 1 else 100
         out = os.path.join(default_data_dir(), f"synthetic_{res}.npz")
         return load_or_generate(out, resolution=res)
+    if not os.path.exists(path):
+        from ..utils.assets import default_data_dir
+        cached = os.path.join(default_data_dir(),
+                              os.path.basename(path))
+        if os.path.exists(cached):
+            return cached
     return path

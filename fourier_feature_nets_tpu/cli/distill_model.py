@@ -84,6 +84,8 @@ def _val_psnr(model, params, cameras, bounds, gt_rgb,
     """Reference eval protocol: uniform samples, whole-frame render."""
     import jax.numpy as jnp
 
+    from ..ops import psnr_from_mse
+
     caster = Raycaster(model, compute_dtype=jnp.bfloat16)
     sampler = RaySampler(bounds, cameras, num_samples)
     scores = []
@@ -93,7 +95,7 @@ def _val_psnr(model, params, cameras, bounds, gt_rgb,
                                 cull_empty=False))
         mse = np.mean(np.square(image.astype(np.float32) / 255.0
                                 - gt_rgb[cam].astype(np.float32) / 255.0))
-        scores.append(-10.0 * np.log10(max(mse, 1e-10)))
+        scores.append(float(psnr_from_mse(max(mse, 1e-10))))
     return float(np.mean(scores))
 
 
@@ -106,15 +108,23 @@ def main(argv=None) -> None:
     gt_rgb = val_cameras = None
     if args.data:
         from ..datasets import ImageDataset
+        from .common import resolve_data_path
 
-        train_set = ImageDataset.load(args.data, "train",
+        # resolve once: ImageDataset.load resolves synthetic:/cache/
+        # download names internally, but the raw GT np.load below
+        # needs the RESOLVED path (the original name may not exist on
+        # disk at all)
+        data_path = resolve_data_path(args.data)
+        train_set = ImageDataset.load(data_path, "train",
                                       num_samples=args.num_samples)
-        val_set = ImageDataset.load(args.data, "val",
+        val_set = ImageDataset.load(data_path, "val",
                                     num_samples=args.num_samples)
         cameras = train_set.cameras
         bounds = np.asarray(train_set.sampler.bounds, np.float32)
         val_cameras = val_set.cameras
-        data = np.load(args.data)
+        # re-resolve: ImageDataset.load may have just downloaded the
+        # file into the cache
+        data = np.load(resolve_data_path(data_path))
         train_count = int(data["split_counts"][0])
         val_count = int(data["split_counts"][1])
         gt = data["images"][train_count:train_count + val_count]

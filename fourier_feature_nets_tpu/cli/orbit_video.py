@@ -136,8 +136,10 @@ def main(argv=None):
 
     compute_dtype = (jnp.bfloat16 if args.compute_dtype == "bfloat16"
                      else None)
-    raycaster = Raycaster(model, compute_dtype=compute_dtype,
-                          fused=model.model_type == "nerf")
+    # fused=None: auto (Pallas kernel for NeRF when compute
+    # dispatches to TPU; XLA elsewhere — forcing it would crash on a
+    # CPU-pinned host, the kernel is TPU Mosaic)
+    raycaster = Raycaster(model, compute_dtype=compute_dtype)
 
     sampler = build_render_sampler(args, model, params, orbit_cameras,
                                    bounds)

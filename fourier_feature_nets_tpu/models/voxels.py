@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.grid_sample import grid_sample_3d_fast
+from ..ops.grid_sample import grid_sample_3d, grid_sample_3d_fast
 from .module import Model
 
 __all__ = ["Voxels"]
@@ -64,9 +64,15 @@ class Voxels(Model):
         """
         del compute_dtype  # gather/lerp; no matmul to downcast
         coords = positions.reshape(-1, 3) / self.scale
-        # Cell-binned custom VJP: identical forward gather, 1.6x
-        # faster training step at 128^3 (60.4 vs 99.4 ms/step on one
-        # chip — tools/voxel_grad_bench.py; gradient parity in
-        # tests/test_grid_sample_fast.py).
-        output = grid_sample_3d_fast(params["voxels"], coords)
+        if self.side <= 160:
+            # Cell-binned custom VJP: identical forward gather, 1.6x
+            # faster training step at 128^3 (60.4 vs 99.4 ms/step on
+            # one chip — tools/voxel_grad_bench.py; gradient parity in
+            # tests/test_grid_sample_fast.py).
+            output = grid_sample_3d_fast(params["voxels"], coords)
+        else:
+            # the fast backward's (D+2)(H+2)(W+2) x 8C transient is
+            # ~2.2 GB at 256^3 x 4ch f32 (its documented ~160^3
+            # ceiling); large grids take the autodiff scatter path
+            output = grid_sample_3d(params["voxels"], coords)
         return output + params["bias"]

@@ -681,6 +681,31 @@ class Raycaster:
             self._render_fns[key] = (frame_fn, arrays)
         return self._render_fns[key]
 
+    @staticmethod
+    def _safe_probe_subsample(sampler, stride: int) -> int:
+        """Clamps the cull-probe stride to 1 when occupancy cells are
+        too small on screen for the coarse raster to stay
+        conservative.
+
+        The stride-s raster culls a ray only when its probe AND every
+        3x3-dilated coarse neighbor miss — a superset of the exact
+        per-ray test only while an occupied cell spans multiple
+        coarse probes (cells are tens of pixels wide at flagship
+        scale, where stride 2 measured bit-equal). At low resolution
+        or fine grids a hit cell can fall between coarse probes and a
+        fine ray through it would be wrongly culled; require a
+        conservative >= 3*s pixel cell span (estimated from the rig's
+        calibration) before subsampling."""
+        if stride <= 1 or not hasattr(sampler, "_grid_resolution"):
+            return stride
+        cell = 2.0 * sampler._grid_scale / sampler._grid_resolution
+        focal = min(float(c.intrinsics[0, 0])
+                    for c in sampler.cameras)
+        distance = max(float(np.linalg.norm(c.position[0]))
+                       for c in sampler.cameras)
+        span_px = focal * cell / max(distance, 1e-6)
+        return stride if span_px >= 3.0 * stride else 1
+
     def render_frame(self, params, sampler: RaySampler, camera: int,
                      chunk_size: int = 16384,
                      color_space: str = "RGB",
@@ -749,6 +774,9 @@ class Raycaster:
             # per-device chunk rows must tile evenly
             chunk_size = -(-chunk_size // mesh.size) * mesh.size
         cull = cull_empty and hasattr(sampler, "probe_cdf")
+        if cull:
+            probe_subsample = self._safe_probe_subsample(
+                sampler, probe_subsample)
         frame_fn, geometry = self._frame_fn(sampler, chunk_size, cull,
                                             mesh, probe_subsample,
                                             early_term=early_term,
@@ -808,6 +836,9 @@ class Raycaster:
         if mesh is not None:
             chunk_size = -(-chunk_size // mesh.size) * mesh.size
         cull = cull_empty and hasattr(sampler, "probe_cdf")
+        if cull:
+            probe_subsample = self._safe_probe_subsample(
+                sampler, probe_subsample)
         frame_fn, geometry = self._frame_fn(sampler, chunk_size, cull,
                                             mesh, probe_subsample,
                                             pose=True,
@@ -931,7 +962,7 @@ class Raycaster:
         return {name: value for name, value in vars(obj).items()
                 if isinstance(value, jnp.ndarray)}
 
-    def _train_data(self, dataset: RayDataset) -> dict:
+    def _train_data(self, dataset: RayDataset, sampler=None) -> dict:
         """Device arrays of a dataset + its sampler, as a jit-argument
         pytree.
 
@@ -941,8 +972,12 @@ class Raycaster:
         TPU runtime rejects the compile (HTTP 413 — see CLAUDE.md).
         Passing them as arguments keeps the payload model-sized. Same
         pattern as :meth:`_frame_fn`'s geometry dict.
+
+        ``sampler`` pins a specific sampler; default is the dataset's
+        CURRENT one (see :meth:`_bind_data` for why pinning matters).
         """
-        sampler = dataset.sampler
+        if sampler is None:
+            sampler = dataset.sampler
         if hasattr(sampler, "ensure_ray_tables"):
             # index-based sampling gathers from the per-ray tables;
             # materialize them before collecting (they're lazy)
@@ -951,11 +986,21 @@ class Raycaster:
                 "dataset": self._device_arrays(dataset)}
 
     @staticmethod
-    def _bind_data(dataset: RayDataset, data: dict):
+    def _bind_data(dataset: RayDataset, data: dict, sampler=None):
         """Shallow copies of (sampler, dataset) with their device
-        arrays replaced by the traced ``data`` pytree leaves."""
+        arrays replaced by the traced ``data`` pytree leaves.
+
+        ``sampler`` pins which sampler the trace binds. This runs at
+        TRACE time (first call of the jitted step), which can be long
+        after the step was BUILT — and ``fit`` swaps
+        ``dataset.sampler`` for occupancy-guided training, so a step
+        that must keep its build-time sampler (the ``occupancy_mix``
+        full-sampling anchor) has to pass it explicitly or the trace
+        would silently capture the swapped-in guided sampler (with
+        its tables frozen as compile constants)."""
         import copy
-        sampler = copy.copy(dataset.sampler)
+        sampler = copy.copy(dataset.sampler if sampler is None
+                            else sampler)
         for name, value in data["sampler"].items():
             object.__setattr__(sampler, name, value)
         bound = copy.copy(dataset)
@@ -977,11 +1022,16 @@ class Raycaster:
         inner step. This amortizes per-dispatch runtime overhead,
         which dominates on remote/tunneled TPU runtimes.
         """
+        # pin the CURRENT sampler: the step must keep sampling the way
+        # it was built even if fit later swaps dataset.sampler (the
+        # occupancy_mix anchor step is built against the base uniform
+        # sampler moments before the guided sampler is installed)
         sampler = dataset.sampler
         stratified = sampler.stratified
 
         def local_loss_and_grads(params, idx, step, rng, data, forward):
-            sampler_t, dataset_t = self._bind_data(dataset, data)
+            sampler_t, dataset_t = self._bind_data(dataset, data,
+                                                   sampler=sampler)
             step_rng = jax.random.fold_in(rng, step) if stratified else None
             rays = sampler_t.sample(idx, step, step_rng)
 
@@ -1058,7 +1108,7 @@ class Raycaster:
             """Re-collects the dataset/sampler device arrays. Because
             they are jit ARGUMENTS, swapping same-shape arrays (e.g. a
             refreshed occupancy grid) costs NO recompile."""
-            data = self._train_data(dataset)
+            data = self._train_data(dataset, sampler=sampler)
             if mesh is not None:
                 # the tables were previously jit constants
                 # (= replicated); as arguments they must be

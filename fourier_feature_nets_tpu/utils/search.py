@@ -216,13 +216,22 @@ class BayesianSearch:
         mu, sigma = gp.predict(candidates)
         ei = _expected_improvement(mu, sigma, max(self.observed_y))
         best = candidates[int(np.argmax(ei))]
-        self.pending.append(best)
-        return self.space.decode(best)
+        params = self.space.decode(best)
+        # pend the NORMALIZED embedding (encode of the decoded value):
+        # quniform rounds in decode, so the raw candidate coordinate
+        # would never match observe()'s re-encoding and the liar entry
+        # would haunt the surrogate forever
+        self.pending.append(self.space.encode(params))
+        return params
 
     def observe(self, params: Dict, value: float):
         point = self.space.encode(params)
-        self.pending = [p for p in self.pending
-                        if not np.allclose(p, point)]
+        # drop at most ONE pending entry: two workers can hold
+        # identical suggestions and only one of them finished
+        for index, p in enumerate(self.pending):
+            if np.allclose(p, point):
+                del self.pending[index]
+                break
         if math.isfinite(value):
             self.observed_x.append(point)
             self.observed_y.append(float(value))

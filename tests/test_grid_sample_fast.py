@@ -60,3 +60,37 @@ def test_grid_gradients_match_at_and_beyond_borders(rng):
     dg2 = jax.grad(loss(lambda g, c: grid_sample_3d_fast(g, c)))(grid)
     np.testing.assert_allclose(np.asarray(dg1), np.asarray(dg2),
                                atol=1e-6)
+
+
+def test_large_voxels_fall_back_to_autodiff(monkeypatch):
+    """Voxels past the fast path's ~160^3 transient ceiling must use
+    the autodiff grid_sample (same values either way; the fast VJP's
+    padded 8C buffer would be ~GBs at 256^3)."""
+    import jax
+
+    from fourier_feature_nets_tpu.models import Voxels, voxels
+
+    calls = {"fast": 0, "auto": 0}
+    fast = voxels.grid_sample_3d_fast
+    auto = voxels.grid_sample_3d
+
+    def counting_fast(grid, coords):
+        calls["fast"] += 1
+        return fast(grid, coords)
+
+    def counting_auto(grid, coords):
+        calls["auto"] += 1
+        return auto(grid, coords)
+
+    monkeypatch.setattr(voxels, "grid_sample_3d_fast", counting_fast)
+    monkeypatch.setattr(voxels, "grid_sample_3d", counting_auto)
+
+    pts = np.asarray(np.random.default_rng(0).uniform(-1, 1, (16, 3)),
+                     np.float32)
+    small = Voxels(side=8, scale=1.0)
+    small.apply(small.init(jax.random.PRNGKey(0)), pts)
+    assert calls == {"fast": 1, "auto": 0}
+
+    big = Voxels(side=161, scale=1.0)
+    big.apply(big.init(jax.random.PRNGKey(0)), pts)
+    assert calls == {"fast": 1, "auto": 1}

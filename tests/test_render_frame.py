@@ -122,12 +122,17 @@ def test_render_frame_cull_empty(bounds, cameras):
     # probe-missed rays: exact background
     assert (culled[~hit] == 0).all()
 
-    # coarse probe raster (default probe_subsample=2): the dilated
-    # coarse hit set must be a SUPERSET of the exact per-ray hit set
+    # coarse probe raster (probe_subsample=2): the dilated coarse hit
+    # set must be a SUPERSET of the exact per-ray hit set
     # (conservative culling — rays are only ever added, never lost),
-    # and hit rays still match the unculled render exactly
-    coarse = caster.render_frame(params, sampler, 0, chunk_size=64,
-                                 cull_empty=True, probe_subsample=2)
+    # and hit rays still match the unculled render exactly. At THIS
+    # scene's scale the safety guard would clamp the stride (cells ~1
+    # px on screen), so drive the stride-2 raster directly through
+    # _frame_fn to keep the code path covered.
+    assert ffn.Raycaster._safe_probe_subsample(sampler, 2) == 1
+    frame_fn, geometry = caster._frame_fn(sampler, 64, cull=True,
+                                          probe_subsample=2)
+    coarse = np.asarray(frame_fn(params, jnp.int32(0), geometry))
     np.testing.assert_array_equal(coarse[hit], full[hit])
     # superset ⇒ the coarse path culls no more rays than the exact one
     assert ((coarse == 0).all(-1).sum()
@@ -172,6 +177,37 @@ def test_render_frame_multichip_matches_single(cameras, bounds):
                                   early_term=1e-12, mesh=mesh)
     np.testing.assert_array_equal(multi_e, single_e)
     assert np.abs(single_e.astype(int) - single_c.astype(int)).max() <= 1
+
+
+def test_probe_subsample_guard(bounds, cameras):
+    """The coarse cull-probe raster auto-clamps to stride 1 when
+    occupancy cells are too small on screen for 3x3 dilation to stay
+    conservative (fine grids / low resolutions), and keeps the
+    requested stride when cells span enough pixels."""
+    from fourier_feature_nets_tpu.octree import OcTree
+    from fourier_feature_nets_tpu.render.occupancy_sampler import (
+        OccupancyGridSampler,
+    )
+    rng = np.random.default_rng(2)
+    cloud = np.concatenate([rng.normal([0.4, 0, 0], 0.08, (2000, 3)),
+                            [[-1, -1, -1], [1, 1, 1]]]).astype(np.float32)
+    tree = OcTree.build_from_samples(cloud, depth=5, min_leaf_size=2)
+    fine = OccupancyGridSampler(tree, cameras, num_samples=8,
+                                grid_resolution=64, num_probes=8,
+                                bounds=bounds)
+    # 20px frame, 64-cell grid: a cell is ~a pixel — must clamp
+    assert ffn.Raycaster._safe_probe_subsample(fine, 2) == 1
+    big_rig = orbit(np.array([0.0, 1.0, 0.0]),
+                    np.array([0.0, 0.0, 1.0]), 3, 40.0,
+                    Resolution(60, 60), 3.0)
+    coarse_grid = OccupancyGridSampler(tree, big_rig, num_samples=8,
+                                       grid_resolution=4,
+                                       num_probes=8, bounds=bounds)
+    # 60px rig + 4-cell grid: a cell spans ~14 px >= 3*stride — keep
+    assert ffn.Raycaster._safe_probe_subsample(coarse_grid, 2) == 2
+    # plain samplers (no occupancy metadata) pass through
+    plain = RaySampler(bounds, cameras, num_samples=8)
+    assert ffn.Raycaster._safe_probe_subsample(plain, 2) == 2
 
 
 def test_lazy_ray_tables(cameras, bounds):

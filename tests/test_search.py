@@ -83,6 +83,36 @@ class TestBayesianSearch:
         xs = sorted(p["x"] for p in batch)
         assert xs[1] - xs[0] > 1e-4 or xs[2] - xs[1] > 1e-4
 
+    def test_quniform_pending_points_are_released(self):
+        """Regression: GP-phase suggestions for quniform dimensions
+        pended the RAW candidate embedding; observe() re-encodes the
+        ROUNDED value, so the constant-liar entry never matched and
+        ghost observations accumulated for the rest of the sweep."""
+        from fourier_feature_nets_tpu.utils.search import (
+            BayesianSearch,
+            parse_space,
+        )
+        space = parse_space("channels=quniform(64,256);"
+                            "lr=loguniform(1e-5,1e-2)")
+        search = BayesianSearch(space, num_initial=3, seed=0)
+        for _ in range(12):  # random phase + well into the GP phase
+            params = search.suggest()
+            assert len(search.pending) == 1
+            search.observe(params, -float(params["channels"]))
+            assert search.pending == []
+
+    def test_observe_releases_one_of_identical_pending(self):
+        from fourier_feature_nets_tpu.utils.search import (
+            BayesianSearch,
+            parse_space,
+        )
+        space = parse_space("lr=uniform(0,1)")
+        search = BayesianSearch(space, num_initial=8, seed=1)
+        params = search.suggest()
+        search.pending.append(search.pending[0].copy())  # twin worker
+        search.observe(params, 1.0)
+        assert len(search.pending) == 1
+
     def test_failed_runs_are_dropped(self):
         space = parse_space("x=uniform(0,1)")
         search = BayesianSearch(space, seed=2, num_initial=1)

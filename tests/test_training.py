@@ -425,6 +425,79 @@ def test_occupancy_guided_training(datasets):
     assert log[-1].val_psnr > 14.0, log[-1].val_psnr
 
 
+def test_train_step_pins_build_time_sampler(datasets):
+    """A built train step must keep sampling through ITS sampler even
+    if fit later swaps ``dataset.sampler`` (regression: the
+    occupancy_mix full-sampling anchor step traced AFTER the guided
+    sampler was installed and silently became another guided step
+    with a stale frozen grid). Poisoning the dataset's sampler makes
+    any trace-time re-read crash."""
+    import jax.numpy as jnp
+
+    from fourier_feature_nets_tpu.utils import adam_init
+
+    train, _ = datasets
+    model = Voxels(side=8, scale=1.0)
+    caster = ffn.Raycaster(model)
+    params = model.init(jax.random.PRNGKey(0))
+    opt_state = adam_init(params)
+    step_fn = caster._make_train_step(train, 64, 0.01, 0.9, 25000,
+                                      0.0)
+    original = train.sampler
+    try:
+        train.sampler = None  # any trace-time re-read would crash
+        perm = jnp.arange(256, dtype=jnp.int32)
+        params, opt_state, loss = step_fn(
+            params, opt_state, perm, jnp.int32(0), jnp.int32(0),
+            jax.random.PRNGKey(1))
+        assert np.isfinite(float(loss))
+    finally:
+        train.sampler = original
+
+
+def test_occupancy_mix_anchor_uses_base_sampler(datasets):
+    """With occupancy_mix, the anchor steps must run the BASE
+    (full-sampling) quadrature: count traces through each sampler
+    class's sample()."""
+    from fourier_feature_nets_tpu.render import RaySampler
+    from fourier_feature_nets_tpu.render.occupancy_sampler import (
+        OccupancyGridSampler,
+    )
+    train, val = datasets
+    model = Voxels(side=16, scale=1.0)
+    caster = ffn.Raycaster(model)
+
+    counts = {"base": 0, "occ": 0}
+    base_sample = RaySampler.sample
+    occ_sample = OccupancyGridSampler.sample
+
+    def counting_base(self, idx, step=None, rng=None):
+        if self is not None and getattr(self, "num_samples", 0) == 48:
+            counts["base"] += 1
+        return base_sample(self, idx, step, rng)
+
+    def counting_occ(self, idx, step=None, rng=None):
+        counts["occ"] += 1
+        return occ_sample(self, idx, step, rng)
+
+    RaySampler.sample = counting_base
+    OccupancyGridSampler.sample = counting_occ
+    try:
+        caster.fit(model.init(jax.random.PRNGKey(0)), train, val,
+                   batch_size=512, learning_rate=0.05, num_steps=200,
+                   crop_steps=0, report_interval=200, decay_rate=0.9,
+                   decay_steps=25000, steps_per_call=10,
+                   occupancy_interval=100, occupancy_samples=16,
+                   occupancy_start=100, occupancy_mix=2)
+    finally:
+        RaySampler.sample = base_sample
+        OccupancyGridSampler.sample = occ_sample
+    # the guided step traces occ.sample once; the mix anchor must
+    # trace the BASE sampler (once more beyond the initial step's)
+    assert counts["occ"] >= 1
+    assert counts["base"] >= 2, counts
+
+
 def test_occupancy_fine_tune_tail(datasets):
     """With occupancy_end, the base (full-sample) sampler is restored
     for the final steps while training continues."""
