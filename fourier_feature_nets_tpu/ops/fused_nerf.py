@@ -61,6 +61,83 @@ class FusedNeRFWeights(NamedTuple):
     color_b: jnp.ndarray
 
 
+def flatten_fused_weights(weights: "FusedNeRFWeights"):
+    """Flat list of weight arrays in THE kernel packing order.
+
+    Every fused kernel (inference, ray-render, train backward) unpacks
+    its flat ref/gradient list in this exact order; keeping the single
+    definition here means a new FusedNeRFWeights field only has to be
+    threaded through one place instead of four hand-maintained copies
+    (the silent-corruption class these kernels are most exposed to).
+    ``pos_enc``/``view_enc`` are excluded — they are passed separately
+    because the kernels read them before the weight refs.
+    """
+    flat = (list(weights.first_parts) + [weights.first_b]
+            + list(weights.mid_w) + list(weights.mid_b))
+    for parts in weights.skip_parts:
+        flat.extend(parts)
+    flat.extend(weights.skip_b)
+    flat.extend([weights.opacity_w, weights.opacity_b,
+                 weights.bottleneck_w, weights.bottleneck_b])
+    flat.extend(weights.hidden_parts)
+    flat.extend([weights.hidden_b, weights.color_w, weights.color_b])
+    return flat
+
+
+def unflatten_fused_weights(template: "FusedNeRFWeights", flat,
+                            pos_enc=None, view_enc=None):
+    """Rebuilds a FusedNeRFWeights from a flat list in the
+    :func:`flatten_fused_weights` order (e.g. gradient outputs).
+
+    ``template`` supplies the tuple arities; ``pos_enc``/``view_enc``
+    default to zeros_like the template's (gradient semantics).
+    """
+    it = iter(flat)
+
+    def take(n):
+        return tuple(next(it) for _ in range(n))
+
+    num_enc = len(template.first_parts)
+    num_mid = len(template.mid_w)
+    num_skips = len(template.skip_parts)
+    d_first = take(num_enc)
+    (d_first_b,) = take(1)
+    d_mid = take(num_mid)
+    d_mid_b = take(num_mid)
+    d_skip = tuple(take(len(parts)) for parts in template.skip_parts)
+    d_skip_b = take(num_skips)
+    d_opacity, d_opacity_b, d_bottleneck, d_bottleneck_b = take(4)
+    d_hidden = take(len(template.hidden_parts))
+    d_hidden_b, d_color, d_color_b = take(3)
+    rest = list(it)
+    assert not rest, "flat list longer than the packing order"
+    if pos_enc is None:
+        pos_enc = jnp.zeros_like(template.pos_enc)
+    if view_enc is None:
+        view_enc = jnp.zeros_like(template.view_enc)
+    return FusedNeRFWeights(
+        pos_enc=pos_enc, view_enc=view_enc,
+        first_parts=d_first, first_b=d_first_b,
+        mid_w=d_mid, mid_b=d_mid_b,
+        skip_parts=d_skip, skip_b=d_skip_b,
+        opacity_w=d_opacity, opacity_b=d_opacity_b,
+        bottleneck_w=d_bottleneck, bottleneck_b=d_bottleneck_b,
+        hidden_parts=d_hidden, hidden_b=d_hidden_b,
+        color_w=d_color, color_b=d_color_b)
+
+
+def on_tpu_default() -> bool:
+    """True when kernels should run natively (Mosaic available).
+
+    Honors an explicit ``jax_default_device`` override (e.g. the CPU
+    test conftest) before falling back to the default backend probe.
+    """
+    default_device = jax.config.jax_default_device
+    if default_device is not None:
+        return default_device.platform == "tpu"
+    return jax.default_backend() == "tpu"
+
+
 def _split_rows(w: np.ndarray, sizes):
     out = []
     start = 0
@@ -361,16 +438,7 @@ def _fused_call(model_static, weights: FusedNeRFWeights,
               len(weights.hidden_parts) - 1, pos_double, view_double,
               num_freq_pos, num_freq_view, compute_dtype, split)
 
-    weight_inputs = (list(weights.first_parts) + [weights.first_b]
-                     + list(weights.mid_w) + list(weights.mid_b))
-    for parts in weights.skip_parts:
-        weight_inputs.extend(parts)
-    weight_inputs.extend(weights.skip_b)
-    weight_inputs.extend([weights.opacity_w, weights.opacity_b,
-                          weights.bottleneck_w, weights.bottleneck_b])
-    weight_inputs.extend(weights.hidden_parts)
-    weight_inputs.extend([weights.hidden_b, weights.color_w,
-                          weights.color_b])
+    weight_inputs = flatten_fused_weights(weights)
 
     def const_spec(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
@@ -427,13 +495,7 @@ def fused_nerf_apply(model, weights: FusedNeRFWeights,
         positions = jnp.pad(positions, ((0, padded - num), (0, 0)))
         views = jnp.pad(views, ((0, padded - num), (0, 0)))
     # no Mosaic backend off-TPU: fall back to the Pallas interpreter
-    # (honor an explicit jax_default_device override, e.g. CPU tests)
-    default_device = jax.config.jax_default_device
-    if default_device is not None:
-        on_tpu = default_device.platform == "tpu"
-    else:
-        on_tpu = jax.default_backend() == "tpu"
-    interpret = interpret or not on_tpu
+    interpret = interpret or not on_tpu_default()
     out = _fused_call(model_static, weights,
                       positions.astype(jnp.float32),
                       views.astype(jnp.float32), tile=tile,

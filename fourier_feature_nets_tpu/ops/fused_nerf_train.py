@@ -38,6 +38,8 @@ from .fused_nerf import (
     _fast_sincos,
     _fused_call,
     _phases,
+    flatten_fused_weights,
+    unflatten_fused_weights,
 )
 
 __all__ = ["pack_fused_nerf", "fused_nerf_train_apply", "model_statics"]
@@ -128,11 +130,15 @@ def _relu_mask(h):
     """1.0 where h > 0 else 0.0, WITHOUT a vector compare.
 
     This Mosaic/TPU toolchain crashes on vector comparison ops inside
-    kernels; since h = relu(z) >= 0 exactly, h / (h + eps) is an exact
-    0/1 mask for all representable positive h.
+    kernels; since h = relu(z) >= 0 exactly, ``ceil(min(h, 1))`` is an
+    exact 0/1 mask for every NORMAL non-negative float (the previous
+    ``h / (h + 1e-30)`` formulation returned fractional masks for h
+    below ~3.4e-23). Subnormal h flushes to zero under XLA/TPU
+    arithmetic anyway, so mask 0 there is consistent with the forward
+    value actually used.
     """
     hf = h.astype(jnp.float32)
-    return hf / (hf + 1e-30)
+    return jnp.ceil(jnp.minimum(hf, 1.0))
 
 
 def _dot_tn(a, b):
@@ -144,7 +150,7 @@ def _dot_tn(a, b):
 def _bwd_kernel(config, positions_ref, views_ref, pos_enc_ref,
                 view_enc_ref, *refs):
     (num_layers, skip_positions, include_inputs, num_mid, num_enc_parts,
-     compute_dtype) = config
+     num_view_parts, compute_dtype) = config
 
     it = iter(refs)
 
@@ -164,7 +170,9 @@ def _bwd_kernel(config, positions_ref, views_ref, pos_enc_ref,
     skip_parts = [read(1 + num_enc_parts) for _ in range(num_skips)]
     skip_b = read(num_skips)
     (opacity_w, opacity_b, bottleneck_w, bottleneck_b) = read(4)
-    hidden_parts = read(1 + num_enc_parts)
+    # the view head's part count is independent of the positional one
+    # (they only coincide for non-doubled encodes)
+    hidden_parts = read(1 + num_view_parts)
     (hidden_b, color_w, color_b) = read(3)
     (g_color_ref, g_opacity_ref) = take(2)
 
@@ -176,7 +184,7 @@ def _bwd_kernel(config, positions_ref, views_ref, pos_enc_ref,
     d_skip = [take(1 + num_enc_parts) for _ in range(num_skips)]
     d_skip_b = take(num_skips)
     (d_opacity, d_opacity_b, d_bottleneck, d_bottleneck_b) = take(4)
-    d_hidden = take(1 + num_enc_parts)
+    d_hidden = take(1 + num_view_parts)
     (d_hidden_b, d_color, d_color_b) = take(3)
 
     all_outs = (d_first + [d_first_b] + d_mid + d_mid_b
@@ -318,18 +326,9 @@ def _bwd_call(model_static, weights: FusedNeRFWeights, positions,
 
     config = (num_layers, skip_positions, include_inputs,
               len(weights.mid_w), len(weights.first_parts),
-              compute_dtype)
+              len(weights.hidden_parts) - 1, compute_dtype)
 
-    weight_inputs = (list(weights.first_parts) + [weights.first_b]
-                     + list(weights.mid_w) + list(weights.mid_b))
-    for parts in weights.skip_parts:
-        weight_inputs.extend(parts)
-    weight_inputs.extend(weights.skip_b)
-    weight_inputs.extend([weights.opacity_w, weights.opacity_b,
-                          weights.bottleneck_w, weights.bottleneck_b])
-    weight_inputs.extend(weights.hidden_parts)
-    weight_inputs.extend([weights.hidden_b, weights.color_w,
-                          weights.color_b])
+    weight_inputs = flatten_fused_weights(weights)
 
     def const_spec(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
@@ -366,37 +365,9 @@ def _bwd_call(model_static, weights: FusedNeRFWeights, positions,
     # rebuild the FusedNeRFWeights structure from the flat f32 grads;
     # cotangents must carry the primal dtypes (bf16 weight grads are
     # upcast again by the packing function's transpose before Adam)
-    flat_primals = weight_inputs
     grads = [g[:p.shape[0]].astype(p.dtype)
-             for g, p in zip(grads, flat_primals)]
-    it = iter(grads)
-
-    def take(n):
-        return tuple(next(it) for _ in range(n))
-
-    num_enc = len(weights.first_parts)
-    num_mid = len(weights.mid_w)
-    num_skips = len(weights.skip_parts)
-    d_first = take(num_enc)
-    d_first_b = next(it)
-    d_mid = take(num_mid)
-    d_mid_b = take(num_mid)
-    d_skip = tuple(take(1 + num_enc) for _ in range(num_skips))
-    d_skip_b = take(num_skips)
-    d_opacity, d_opacity_b, d_bottleneck, d_bottleneck_b = take(4)
-    d_hidden = take(1 + len(weights.hidden_parts) - 1)
-    d_hidden_b, d_color, d_color_b = take(3)
-
-    return FusedNeRFWeights(
-        pos_enc=jnp.zeros_like(weights.pos_enc),
-        view_enc=jnp.zeros_like(weights.view_enc),
-        first_parts=d_first, first_b=d_first_b,
-        mid_w=d_mid, mid_b=d_mid_b,
-        skip_parts=d_skip, skip_b=d_skip_b,
-        opacity_w=d_opacity, opacity_b=d_opacity_b,
-        bottleneck_w=d_bottleneck, bottleneck_b=d_bottleneck_b,
-        hidden_parts=d_hidden, hidden_b=d_hidden_b,
-        color_w=d_color, color_b=d_color_b)
+             for g, p in zip(grads, weight_inputs)]
+    return unflatten_fused_weights(weights, grads)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5))

@@ -40,7 +40,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_nerf import FusedNeRFWeights, _fast_sincos, _phases
+from .fused_nerf import (
+    FusedNeRFWeights,
+    _fast_sincos,
+    _phases,
+    flatten_fused_weights,
+    on_tpu_default,
+)
 
 __all__ = ["fused_ray_render"]
 
@@ -76,7 +82,7 @@ def _exclusive_cumprod_lanes(x):
 def _kernel(config, t_ref, positions_ref, views_ref, pos_enc_ref,
             view_enc_ref, agg_ref, expand_ref, *refs):
     (num_layers, skip_positions, include_inputs, num_mid, num_enc_parts,
-     compute_dtype, num_samples) = config
+     num_view_parts, compute_dtype, num_samples) = config
 
     it = iter(refs)
 
@@ -91,7 +97,9 @@ def _kernel(config, t_ref, positions_ref, views_ref, pos_enc_ref,
     skip_parts = [take(1 + num_enc_parts) for _ in range(num_skips)]
     skip_b = take(num_skips)
     (opacity_w, opacity_b, bottleneck_w, bottleneck_b) = take(4)
-    hidden_parts = take(1 + num_enc_parts)
+    # the view head's part count is independent of the positional one
+    # (they only coincide for non-doubled encodes)
+    hidden_parts = take(1 + num_view_parts)
     (hidden_b, color_w, color_b, out_ref) = take(4)
 
     def dot(a, b):
@@ -153,8 +161,17 @@ def _kernel(config, t_ref, positions_ref, views_ref, pos_enc_ref,
     lane = _lane_iota(t.shape)
     # shift -1 == circular shift by S-1 (pltpu.roll wants shift >= 0)
     rolled_t = pltpu.roll(t, num_samples - 1, axis=1)
-    # delta: t[s+1] - t[s]; final lane = 1e10 (arithmetic gate)
-    last_gate = jnp.floor(lane * (1.0 / (num_samples - 1)))  # 1 at last
+    # delta: t[s+1] - t[s]; final lane = 1e10 (arithmetic gate).
+    # XLA lowers division by a compile-time constant to multiplication
+    # by its reciprocal, which is EXACT only for power-of-2 divisors —
+    # the earlier floor(lane / (S-1)) form made the gate 0 at the last
+    # lane for ~13% of sample counts (e.g. S=42, 48: (S-1)*fl(1/(S-1))
+    # rounds below 1.0 -> negative deltas corrupt every composite).
+    # Bias the lane so the divisor is a power of two: with p =
+    # next_pow2(S-1), floor((lane + p - (S-1)) / p) = 1 iff lane==S-1.
+    last_lane = num_samples - 1
+    pow2 = 1 << max(0, (last_lane - 1).bit_length())
+    last_gate = jnp.floor((lane + float(pow2 - last_lane)) / float(pow2))
     deltas = (rolled_t - t) * (1.0 - last_gate) + 1e10 * last_gate
 
     # sigma (TILE_R*S, 1) -> (TILE_R, S): small relayout, then alpha
@@ -196,6 +213,7 @@ def _fused_ray_call(model_static, weights: FusedNeRFWeights,
 
     config = (num_layers, skip_positions, include_inputs,
               len(weights.mid_w), len(weights.first_parts),
+              len(weights.hidden_parts) - 1,
               compute_dtype, num_samples)
 
     # constant aggregation/expansion matrices (ray-membership)
@@ -205,16 +223,7 @@ def _fused_ray_call(model_static, weights: FusedNeRFWeights,
     expand = jnp.asarray(agg.T, compute_dtype)
     agg = jnp.asarray(agg, jnp.float32)
 
-    weight_inputs = (list(weights.first_parts) + [weights.first_b]
-                     + list(weights.mid_w) + list(weights.mid_b))
-    for parts in weights.skip_parts:
-        weight_inputs.extend(parts)
-    weight_inputs.extend(weights.skip_b)
-    weight_inputs.extend([weights.opacity_w, weights.opacity_b,
-                          weights.bottleneck_w, weights.bottleneck_b])
-    weight_inputs.extend(weights.hidden_parts)
-    weight_inputs.extend([weights.hidden_b, weights.color_w,
-                          weights.color_b])
+    weight_inputs = flatten_fused_weights(weights)
 
     def const_spec(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
@@ -252,7 +261,8 @@ def fused_ray_render(model, weights: FusedNeRFWeights,
 
     Args:
         model: a NeRF model (for static structure).
-        weights: packed weights (prepare_fused_nerf / pack variants).
+        weights: packed weights (prepare_fused_nerf / pack variants;
+            the double-angle layout is rejected — see ValueError).
         positions: (R, S, 3) sample positions (ray-major).
         view_directions: (R, 3) or (R, S, 3) ray directions (the
             per-ray value is taken).
@@ -266,6 +276,19 @@ def fused_ray_render(model, weights: FusedNeRFWeights,
     if view_directions.ndim == 3:
         view_directions = view_directions[:, 0, :]
 
+    # this kernel's encode emits (cos, sin[, raw]) parts only — the
+    # double-angle packed layout (single permuted part) would silently
+    # zip-truncate against it, so reject it up front
+    expected = 3 if model.include_inputs else 2
+    if (len(weights.first_parts) != expected
+            or len(weights.hidden_parts) != 1 + expected):
+        raise ValueError(
+            "fused_ray_render requires non-doubled packed weights "
+            "(prepare_fused_nerf(use_doubling=False)); got "
+            f"{len(weights.first_parts)} positional / "
+            f"{len(weights.hidden_parts) - 1} view encode parts, "
+            f"expected {expected}.")
+
     dtype = weights.mid_w[0].dtype if weights.mid_w else (
         weights.bottleneck_w.dtype)
     skips = tuple(s for s in sorted(model.skips)
@@ -274,11 +297,7 @@ def fused_ray_render(model, weights: FusedNeRFWeights,
                     str(dtype), num_samples)
 
     if interpret is None:
-        default_device = jax.config.jax_default_device
-        on_tpu = (default_device.platform == "tpu"
-                  if default_device is not None
-                  else jax.default_backend() == "tpu")
-        interpret = not on_tpu
+        interpret = not on_tpu_default()
 
     pad = (-num_rays) % tile_r
     if pad:

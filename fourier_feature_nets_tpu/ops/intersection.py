@@ -51,20 +51,29 @@ def ray_aabb_near_far(starts: jnp.ndarray, directions: jnp.ndarray,
 
     Returns:
         NearFar with (...,) near, far, and valid (near < far before
-        clamping). Divisions by zero produce +/-inf which fall out of
-        the max-of-mins / min-of-maxes reduction exactly as in the
-        NumPy reference (ray_sampler.py:206-222).
+        clamping). Divisions by zero (x/0) produce +/-inf which flow
+        through the max-of-mins / min-of-maxes reduction exactly as in
+        the NumPy reference (ray_sampler.py:206-222). 0/0 (an origin
+        exactly on a slab plane with a zero direction component on
+        that axis) produces NaN, which the reference propagates
+        through ``np.max``/``np.min`` so the comparison marks the ray
+        INVALID; here such rays are marked invalid explicitly while
+        near/far stay finite, so masked downstream arithmetic (and its
+        gradients through ``where``) never sees a NaN.
     """
     t0 = (bounds_min - starts) / directions
     t1 = (bounds_max - starts) / directions
+    # 0/0 slabs: the reference's NaN-propagating max/min invalidates
+    # the whole ray — record that before sanitizing the values.
+    degenerate = jnp.any(jnp.isnan(t0) | jnp.isnan(t1), axis=-1)
     near = jnp.minimum(t0, t1)
     far = jnp.maximum(t0, t1)
-    # NaNs (0/0) must not poison the reductions: replace with -/+inf so
-    # they never win max/min, mirroring NumPy's nan-ignoring where-trick.
+    # keep the reductions finite (NaN would win jnp.max on TPU too,
+    # but poison downstream masked math); validity is handled above
     near = jnp.where(jnp.isnan(near), -jnp.inf, near)
     far = jnp.where(jnp.isnan(far), jnp.inf, far)
     near = jnp.max(near, axis=-1)
     far = jnp.min(far, axis=-1)
-    valid = near < far
+    valid = (near < far) & ~degenerate
     near = jnp.where(valid, jnp.maximum(min_near, near), near)
     return NearFar(near, far, valid)

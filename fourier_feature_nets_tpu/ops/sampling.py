@@ -200,6 +200,29 @@ def _monotone_bracket(values: jnp.ndarray, hits: jnp.ndarray,
     return below, above
 
 
+def _inverse_cdf_interp(grid: jnp.ndarray, cdf: jnp.ndarray,
+                        quantiles: jnp.ndarray, eps: float):
+    """Maps quantiles through a discrete CDF by bracket + lerp.
+
+    Shared core of :func:`inverse_cdf_from_bins` and
+    :func:`inverse_cdf_t_values` — gather-free bracketing (cdf and
+    grid are both monotone, so the bin around each quantile comes from
+    masked max/min reductions instead of searchsorted +
+    take_along_axis), then linear interpolation with an
+    ``eps``-guarded denominator (1e-5 preserves the reference's
+    epsilon at ray_sampler.py:348; the explicit-bins API uses a
+    tighter 1e-9).
+    """
+    hits = cdf[..., None, :] <= quantiles[..., :, None]
+    cdf_i, cdf_j = _monotone_bracket(cdf, hits, cdf[..., -1:])
+    t_i, t_j = _monotone_bracket(grid, hits, grid[..., -1:])
+    denominator = cdf_j - cdf_i
+    denominator = jnp.where(denominator < eps,
+                            jnp.ones_like(denominator), denominator)
+    frac = (quantiles - cdf_i) / denominator
+    return t_i + frac * (t_j - t_i)
+
+
 def inverse_cdf_from_bins(t_edges: jnp.ndarray, cdf: jnp.ndarray,
                           num_samples: int,
                           rng: jax.Array = None,
@@ -239,15 +262,7 @@ def inverse_cdf_from_bins(t_edges: jnp.ndarray, cdf: jnp.ndarray,
     else:
         quantiles = jax.random.uniform(rng, (num_rays, num_samples))
 
-    # gather-free bracketing: cdf and t_edges are both monotone, so
-    # the bin around each quantile comes from masked max/min
-    # reductions instead of searchsorted + take_along_axis
-    hits = cdf[..., None, :] <= quantiles[..., :, None]
-    cdf_i, cdf_j = _monotone_bracket(cdf, hits, cdf[..., -1:])
-    t_i, t_j = _monotone_bracket(t_edges, hits, t_edges[..., -1:])
-    denominator = jnp.where(cdf_j - cdf_i < 1e-9, 1.0, cdf_j - cdf_i)
-    frac = (quantiles - cdf_i) / denominator
-    return t_i + frac * (t_j - t_i)
+    return _inverse_cdf_interp(t_edges, cdf, quantiles, eps=1e-9)
 
 
 def inverse_cdf_t_values(near: jnp.ndarray, far: jnp.ndarray,
@@ -289,16 +304,8 @@ def inverse_cdf_t_values(near: jnp.ndarray, far: jnp.ndarray,
                 jnp.linspace(0.0, 1.0, num_samples),
                 (num_rays, num_samples))
 
-    # gather-free bracketing (see inverse_cdf_from_bins)
-    hits = cdf[..., None, :] <= quantiles[..., :, None]
-    cdf_i, cdf_j = _monotone_bracket(cdf, hits, cdf[..., -1:])
-    t_i, t_j = _monotone_bracket(t_values, hits, t_values[..., -1:])
-
-    denominator = cdf_j - cdf_i
-    denominator = jnp.where(denominator < 1e-5,
-                            jnp.ones_like(denominator), denominator)
-    t_diff = (quantiles - cdf_i) / denominator
-    return t_i + t_diff * (t_j - t_i)
+    # reference-parity epsilon: ray_sampler.py:348
+    return _inverse_cdf_interp(t_values, cdf, quantiles, eps=1e-5)
 
 
 def sample_positions(starts: jnp.ndarray, directions: jnp.ndarray,

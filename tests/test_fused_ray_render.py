@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import fourier_feature_nets_tpu as ffn
 from fourier_feature_nets_tpu.models import NeRF
@@ -30,12 +31,17 @@ def test_exclusive_cumprod_lane_scan(rng):
     np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5)
 
 
-def test_matches_raycaster_render(rng):
+# S=42 regresses the last-lane gate: 41 * fl32(1/41) rounds below 1.0,
+# so the old floor(lane / (S-1))-by-reciprocal gate missed the final
+# sample for ~13% of sample counts (negative deltas from the circular
+# roll corrupted every ray's composite).
+@pytest.mark.parametrize("num_samples", [42, 128])
+def test_matches_raycaster_render(rng, num_samples):
     model = NeRF(num_layers=4, num_channels=64, max_log_scale_pos=9.0,
                  num_freq_pos=10, max_log_scale_view=3.0,
                  num_freq_view=4, skips=[2], include_inputs=True)
     params = model.init(jax.random.PRNGKey(0))
-    R, S = 40, 128
+    R, S = 40, num_samples
     t = np.sort(rng.uniform(1, 4, (R, S)).astype(np.float32), -1)
     d = rng.normal(size=(R, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
@@ -55,3 +61,19 @@ def test_matches_raycaster_render(rng):
                                np.asarray(ref.color), atol=2e-3)
     np.testing.assert_allclose(np.asarray(out[:, 3]),
                                np.asarray(ref.alpha), atol=2e-3)
+
+
+def test_rejects_doubled_weights(rng):
+    model = NeRF(num_layers=4, num_channels=64, max_log_scale_pos=9.0,
+                 num_freq_pos=10, max_log_scale_view=3.0,
+                 num_freq_view=4, skips=[2], include_inputs=True)
+    params = model.init(jax.random.PRNGKey(0))
+    weights = prepare_fused_nerf(model, params, dtype=jnp.float32,
+                                 use_doubling=True)
+    R, S = 16, 8
+    t = np.sort(rng.uniform(1, 4, (R, S)).astype(np.float32), -1)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    pos = rng.uniform(-1, 1, (R, S, 3)).astype(np.float32)
+    with pytest.raises(ValueError, match="non-doubled"):
+        fused_ray_render(model, weights, jnp.asarray(pos),
+                         jnp.asarray(d), jnp.asarray(t), interpret=True)

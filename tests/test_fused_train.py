@@ -9,10 +9,26 @@ import pytest
 import fourier_feature_nets_tpu as ffn
 from fourier_feature_nets_tpu.models import NeRF
 from fourier_feature_nets_tpu.ops.fused_nerf_train import (
+    _relu_mask,
     fused_nerf_train_apply,
     model_statics,
     pack_fused_nerf,
 )
+
+
+def test_relu_mask_exact_for_all_nonnegative_floats():
+    """The compare-free mask must be EXACTLY 0/1 for every normal
+    positive float (the old h/(h+1e-30) form returned fractional
+    masks below ~3.4e-23, silently shrinking those units' gradients).
+    Subnormals flush to zero under XLA and are out of scope."""
+    h = jnp.asarray([0.0, 1.2e-38, 1e-30, 3e-23, 1e-10,
+                     1.0, 5.5, 3.4e38], jnp.float32)
+    expected = np.asarray([0, 1, 1, 1, 1, 1, 1, 1], np.float32)
+    np.testing.assert_array_equal(np.asarray(_relu_mask(h)), expected)
+    # bf16 inputs (the kernels' compute dtype) are upcast first
+    hb = jnp.asarray([0.0, 1.2e-38, 1e-20, 2.0], jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(_relu_mask(hb)),
+                                  [0.0, 1.0, 1.0, 1.0])
 
 
 @pytest.fixture(scope="module")

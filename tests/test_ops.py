@@ -102,6 +102,22 @@ class TestRayAABB:
         assert bool(nf.valid[0])       # inside the x-slab
         assert not bool(nf.valid[1])   # outside the x-slab, parallel
 
+    def test_origin_on_face_with_zero_direction_is_invalid(self):
+        """0/0 slab (origin ON a face, direction parallel to it): the
+        reference's NaN-propagating max/min marks the ray invalid; we
+        must match that while keeping near/far finite."""
+        starts = jnp.array([[1.0, 0.0, -5.0],    # on the max-x face
+                            [-1.0, 0.0, -5.0]])  # on the min-x face
+        dirs = jnp.array([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+        nf = ops.ray_aabb_near_far(starts, dirs,
+                                   jnp.array([-1.0, -1.0, -1.0]),
+                                   jnp.array([1.0, 1.0, 1.0]))
+        assert not bool(nf.valid[0])
+        assert not bool(nf.valid[1])
+        # unlike the reference, no NaN leaks into downstream masked math
+        assert not bool(jnp.any(jnp.isnan(nf.near)))
+        assert not bool(jnp.any(jnp.isnan(nf.far)))
+
     def test_numpy_reference_parity(self, rng):
         """Random rays against a NumPy slab-method oracle."""
         starts = rng.uniform(-3, 3, (256, 3)).astype(np.float32)
