@@ -53,13 +53,28 @@ def _logits_fn(model, fused: bool, compute_dtype, trainable: bool):
                 model_statics,
                 pack_fused_nerf,
             )
+            from .raycaster import _on_tpu
 
             statics = model_statics(model, jnp.bfloat16)
+            tile = 512
+            interpret = not _on_tpu()
 
             def fn(params, positions, views):
+                # pad to the kernel tile (same as
+                # Raycaster._train_forward): _fused_call asserts
+                # num % tile == 0, and batch_rays * samples/ray need
+                # not be a multiple of 512
                 packed = pack_fused_nerf(model, params, jnp.bfloat16)
-                return fused_nerf_train_apply(statics, packed,
-                                              positions, views, 512)
+                num = positions.shape[0]
+                padded = (num + tile - 1) // tile * tile
+                if padded != num:
+                    positions = jnp.pad(
+                        positions, ((0, padded - num), (0, 0)))
+                    views = jnp.pad(views, ((0, padded - num), (0, 0)))
+                logits = fused_nerf_train_apply(statics, packed,
+                                                positions, views, tile,
+                                                interpret)
+                return logits[:num]
         else:
             from ..ops.fused_nerf import fused_nerf_apply
 

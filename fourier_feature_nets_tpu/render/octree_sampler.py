@@ -19,7 +19,7 @@ import numpy as np
 from ..cameras import CameraInfo
 from ..octree.device import device_batch_intersect
 from ..octree.octree import OcTree
-from ..ops.sampling import inverse_cdf_from_bins
+from ..ops.sampling import inverse_cdf_from_bins, per_ray_uniform
 from .ray_sampler import RaySampler, RaySamples
 
 __all__ = ["OctreeRaySampler", "occupancy_t_values"]
@@ -27,7 +27,9 @@ __all__ = ["OctreeRaySampler", "occupancy_t_values"]
 
 def occupancy_t_values(t_stops: jnp.ndarray, leaves: jnp.ndarray,
                        num_samples: int, rng: Optional[jax.Array] = None,
-                       empty_weight: float = 1e-3) -> jnp.ndarray:
+                       empty_weight: float = 1e-3,
+                       quantiles: Optional[jnp.ndarray] = None
+                       ) -> jnp.ndarray:
     """Draws sample depths concentrated in occupied tree intervals.
 
     Args:
@@ -38,6 +40,9 @@ def occupancy_t_values(t_stops: jnp.ndarray, leaves: jnp.ndarray,
         empty_weight: relative sampling mass of empty intervals
             (nonzero so the renderer can still correct octree
             false-negatives).
+        quantiles: optional precomputed SORTED (R, num_samples)
+            quantiles in [0, 1) (e.g. stratified per-ray draws for
+            layout invariance); overrides ``rng``.
 
     Returns:
         (R, num_samples) sorted t values.
@@ -48,8 +53,12 @@ def occupancy_t_values(t_stops: jnp.ndarray, leaves: jnp.ndarray,
     cdf = jnp.cumsum(weights, axis=-1)
     cdf = cdf / cdf[:, -1:]
     cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)
-    t = inverse_cdf_from_bins(t_stops, cdf, num_samples, rng)
-    return jnp.sort(t, axis=-1)
+    # stratified quantiles are sorted by construction, so the inverse
+    # CDF output is too — per-ray jnp.sort is a full bitonic network
+    # on TPU (CLAUDE.md) and is deliberately avoided here
+    return inverse_cdf_from_bins(t_stops, cdf, num_samples, rng,
+                                 stratified_quantiles=True,
+                                 quantiles=quantiles)
 
 
 class OctreeRaySampler(RaySampler):
@@ -105,11 +114,20 @@ class OctreeRaySampler(RaySampler):
             scale=self._tree_scale, max_depth=self._tree_depth,
             max_length=self.max_length)
 
+        # layout-invariant stratified quantiles: keyed by ray id (not
+        # batch slot) so every data-parallel sharding draws identical
+        # samples per ray (see ops.sampling.per_ray_uniform)
+        quantiles = None
+        if self.stratified and rng is not None and idx is not None:
+            jitter = per_ray_uniform(rng, jnp.asarray(idx),
+                                     self.num_samples)
+            quantiles = ((jnp.arange(self.num_samples) + jitter)
+                         / self.num_samples)
         quantile_rng = rng if (self.stratified and rng is not None) \
             else None
         t_values = occupancy_t_values(path.t_stops, path.leaves,
                                       self.num_samples, quantile_rng,
-                                      self.empty_weight)
+                                      self.empty_weight, quantiles)
         # clamp into the valid near/far range of the render volume
         t_values = jnp.clip(t_values, near[:, None], far[:, None])
 

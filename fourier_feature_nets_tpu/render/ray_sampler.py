@@ -460,8 +460,9 @@ class RaySampler:
         if getattr(self, "_jit_sample", None) is None:
             import copy
 
-            arrays = {name: value for name, value in vars(self).items()
-                      if isinstance(value, jnp.ndarray)}
+            array_names = tuple(
+                name for name, value in vars(self).items()
+                if isinstance(value, jnp.ndarray))
 
             @jax.jit
             def sample_fn(geometry, idx):
@@ -470,8 +471,12 @@ class RaySampler:
                     object.__setattr__(traced, name, value)
                 return traced.sample(idx)
 
-            self._jit_sample = (sample_fn, arrays)
-        sample_fn, arrays = self._jit_sample
+            self._jit_sample = (sample_fn, array_names)
+        sample_fn, array_names = self._jit_sample
+        # values re-collected per call (names fixed at trace time):
+        # caching the dict itself would serve stale occupancy/probe
+        # tables after set_occupancy_grid — see Raycaster._frame_fn
+        arrays = {name: getattr(self, name) for name in array_names}
         return sample_fn(arrays, idx)
 
     def rays_for_camera(self, camera: int) -> RaySamples:

@@ -58,8 +58,13 @@ def _composite(color_o: jnp.ndarray, t_values: jnp.ndarray,
     if include_depth:
         cutoff = jnp.argmax(leading, axis=-1)
         cutoff = jnp.where(output_alpha < 0.1, num_samples - 1, cutoff)
-        output_depth = jnp.take_along_axis(
-            t_values, cutoff[:, None], axis=-1)[:, 0]
+        # one-hot contraction instead of take_along_axis: per-row
+        # dynamic gathers lower to a ~85 ns/row scalar loop on TPU
+        # (CLAUDE.md), which dominates full-dataset depth sweeps
+        # (extract_surface); the one-hot matmul is VPU/MXU work
+        output_depth = jnp.sum(
+            t_values * jax.nn.one_hot(cutoff, num_samples,
+                                      dtype=t_values.dtype), axis=-1)
     else:
         output_depth = None
 
@@ -361,9 +366,13 @@ class Raycaster:
             # passed as a jit ARGUMENT pytree rather than captured in
             # the closure: closed-over arrays are embedded as
             # constants in the compile payload, which for whole-orbit
-            # geometry is hundreds of MB.
-            arrays = {name: value for name, value in vars(sampler).items()
-                      if isinstance(value, jnp.ndarray)}
+            # geometry is hundreds of MB. Only the NAMES are cached —
+            # values are re-collected per call (see return below) so
+            # same-shape refreshes (set_occupancy_grid) are picked up
+            # without recompiling.
+            array_names = tuple(
+                name for name, value in vars(sampler).items()
+                if isinstance(value, jnp.ndarray))
 
             if self.fused:
                 from ..ops.fused_nerf import fused_nerf_apply
@@ -678,8 +687,15 @@ class Raycaster:
             elif cull:
                 frame_fn = frame_fn_culled
 
-            self._render_fns[key] = (frame_fn, arrays)
-        return self._render_fns[key]
+            self._render_fns[key] = (frame_fn, array_names)
+        frame_fn, array_names = self._render_fns[key]
+        # fresh snapshot each call: a cached `arrays` dict would pin
+        # the occupancy grid/probe tables from build time, silently
+        # ignoring sampler.set_occupancy_grid refreshes (the names are
+        # fixed at trace time so the pytree structure stays stable —
+        # zero recompiles for same-shape swaps)
+        arrays = {name: getattr(sampler, name) for name in array_names}
+        return frame_fn, arrays
 
     @staticmethod
     def _safe_probe_subsample(sampler, stride: int) -> int:
@@ -864,41 +880,61 @@ class Raycaster:
         palette = out_layer["weight"]  # (hidden, 4)
         bias = out_layer["bias"]
 
-        @jax.jit
-        def unit_render(positions, t_values):
-            _, hidden = self.model.apply(params, positions.reshape(-1, 3),
-                                         return_hidden=True)
-            # (units, rays*samples, 4): unit u contributes
-            # hidden[:, u] (outer) palette[u, :] + bias
-            per_unit = hidden.T[:, :, None] * palette[:, None, :] + bias
-            num_rays = t_values.shape[0]
-            per_unit = per_unit.reshape(palette.shape[0], num_rays, -1, 4)
-            color = jax.nn.sigmoid(per_unit[..., :3])
-            opacity = jax.nn.softplus(per_unit[..., 3])
-            weights = jax.vmap(calculate_blend_weights,
-                               in_axes=(None, 0))(t_values, opacity)
-            return jnp.sum(weights[..., None] * color, axis=-2)
+        # cached jitted fn with params as ARGUMENTS: a fresh @jax.jit
+        # closure per call would pay a full (remote) compile every
+        # visualizer invocation (CLAUDE.md jit-closure hazard)
+        key = ("activations",)
+        if key not in self._render_fns:
+            @jax.jit
+            def unit_render(params, palette, bias, positions, t_values):
+                _, hidden = self.model.apply(params,
+                                             positions.reshape(-1, 3),
+                                             return_hidden=True)
+                # (units, rays*samples, 4): unit u contributes
+                # hidden[:, u] (outer) palette[u, :] + bias
+                per_unit = (hidden.T[:, :, None] * palette[:, None, :]
+                            + bias)
+                num_rays = t_values.shape[0]
+                per_unit = per_unit.reshape(palette.shape[0], num_rays,
+                                            -1, 4)
+                color = jax.nn.sigmoid(per_unit[..., :3])
+                opacity = jax.nn.softplus(per_unit[..., 3])
+                weights = jax.vmap(calculate_blend_weights,
+                                   in_axes=(None, 0))(t_values, opacity)
+                return jnp.sum(weights[..., None] * color, axis=-2)
+
+            self._render_fns[key] = unit_render
+        unit_render = self._render_fns[key]
 
         unit_colors = []
         num_rays = samples.positions.shape[0]
         for start in range(0, num_rays, batch_size):
             end = min(start + batch_size, num_rays)
-            batch = samples.subset(np.arange(start, end))
-            unit_colors.append(np.asarray(
-                unit_render(batch.positions, batch.t_values)))
+            idx = np.arange(start, end)
+            if end - start < batch_size:
+                # pad the ragged tail to the fixed batch shape — a
+                # per-camera tail shape would recompile per camera
+                idx = np.pad(idx, (0, batch_size - (end - start)),
+                             mode="edge")
+            batch = samples.subset(idx)
+            colors = np.asarray(unit_render(params, palette, bias,
+                                            batch.positions,
+                                            batch.t_values))
+            unit_colors.append(colors[:, :end - start])
         unit_colors = np.concatenate(unit_colors, axis=1)
 
         num_grid = 8
-        grid_size = sampler.image_width
-        size = grid_size * num_grid
-        act_pixels = np.zeros((size, size, 3), np.uint8)
+        cell_h = sampler.image_height
+        cell_w = sampler.image_width
+        act_pixels = np.zeros((cell_h * num_grid, cell_w * num_grid, 3),
+                              np.uint8)
         for i in range(num_grid):
             for j in range(num_grid):
                 unit = i * num_grid + j
                 pixels = sampler.to_image(camera, unit_colors[unit],
                                           color_space)
-                act_pixels[i * grid_size:(i + 1) * grid_size,
-                           j * grid_size:(j + 1) * grid_size] = pixels
+                act_pixels[i * cell_h:(i + 1) * cell_h,
+                           j * cell_w:(j + 1) * cell_w] = pixels
         return act_pixels
 
     # ------------------------------------------------------------------
@@ -936,10 +972,7 @@ class Raycaster:
                  else jnp.float32)
         statics = model_statics(self.model, dtype)
         tile = 512
-        default_device = jax.config.jax_default_device
-        on_tpu = (default_device.platform == "tpu"
-                  if default_device is not None
-                  else jax.default_backend() == "tpu")
+        on_tpu = _on_tpu()
 
         num_rays, num_samples = rays.t_values.shape
         positions = rays.positions.reshape(-1, 3)
@@ -1348,7 +1381,7 @@ class Raycaster:
             if occupancy_start is None:
                 occupancy_start = max(crop_steps, 1000)
 
-        def update_occupancy(last):
+        def update_occupancy():
             """Swaps in (first call, one recompile) or refreshes
             (zero recompiles) the density-grid training sampler."""
             nonlocal train_step, occupancy_active, mix_step
@@ -1435,14 +1468,17 @@ class Raycaster:
                         last = step + occupancy_mix - 1
                         step = last + 1
 
-                    if chunk == 1:
-                        report_due = (last < 10
-                                      or last % report_interval == 0)
-                    else:
-                        # a report is due iff [first, last] covers a
-                        # multiple of report_interval
-                        report_due = (last // report_interval
-                                      > (first - 1) // report_interval)
+                    # a report is due iff [first, last] covers a
+                    # multiple of report_interval — the window is wider
+                    # than `chunk` when occupancy_mix appends anchor
+                    # steps, so a fixed-width `last % interval` test
+                    # would silently skip reports; single-step runs
+                    # also report the first few steps (parity with the
+                    # reference's per-step prints)
+                    interval_due = (last // report_interval
+                                    > (first - 1) // report_interval)
+                    report_due = interval_due or (chunk == 1
+                                                  and last < 10)
 
                     if report_due:
                         train_psnr = validate(trainval_dataset, last)
@@ -1459,7 +1495,7 @@ class Raycaster:
                             metric_logger("psnr_val", val_psnr)
                             metric_logger("time_per_step", time_per_step)
 
-                        if chunk > 1 or last % report_interval == 0:
+                        if interval_due:
                             state = jax.tree.map(np.asarray, params)
                             log.append(LogEntry(last,
                                                 current_time - start_time,
@@ -1489,9 +1525,13 @@ class Raycaster:
                     # due iff [first, last] covers a multiple of
                     # checkpoint_interval — independent of the crop
                     # transition above, and labeled with the last step
-                    # that actually executed (resume restarts at last + 1)
+                    # that actually executed (resume restarts at last + 1).
+                    # Window-exact like the report test: the fixed-width
+                    # `last % interval < chunk` form skipped checkpoints
+                    # whenever occupancy_mix widened the step window.
                     if (checkpointer is not None and last > start_step
-                            and (last % checkpoint_interval) < chunk):
+                            and last // checkpoint_interval
+                            > (first - 1) // checkpoint_interval):
                         # device-side snapshot + background write: the
                         # step loop never blocks on the host fetch
                         checkpointer.save(self.model, params, opt_state,
@@ -1519,7 +1559,7 @@ class Raycaster:
                             and (not occupancy_active
                                  or last // occupancy_interval
                                  > (first - 1) // occupancy_interval)):
-                        update_occupancy(last)
+                        update_occupancy()
 
                     if not restart_epoch:
                         for visualizer in visualizers:

@@ -83,6 +83,9 @@ class RenderServer:
         self.num_cameras = sampler.num_cameras
         self.resolution = (sampler.image_height, sampler.image_width)
         self._latencies = deque(maxlen=4096)
+        # guards iteration (stats) against concurrent resolver appends:
+        # CPython raises "deque mutated during iteration" otherwise
+        self._latency_lock = threading.Lock()
         self._queue = queue.SimpleQueue()
         self._fetch_queue = queue.SimpleQueue()
         self._submit_lock = threading.Lock()
@@ -134,8 +137,9 @@ class RenderServer:
             # steady state this measures resolve-to-resolve throughput
             # (back-to-back frames); for an isolated request it is the
             # dispatch-to-fetch latency
-            self._latencies.append(now - max(start,
-                                             self._last_resolve))
+            with self._latency_lock:
+                self._latencies.append(now - max(start,
+                                                 self._last_resolve))
             self._last_resolve = now
             request.event.set()
 
@@ -183,7 +187,8 @@ class RenderServer:
         real frames aged it out)."""
         start = time.perf_counter()
         self.frame(0)
-        self._latencies.clear()
+        with self._latency_lock:
+            self._latencies.clear()
         return time.perf_counter() - start
 
     def frame(self, camera: int) -> np.ndarray:
@@ -229,7 +234,8 @@ class RenderServer:
 
     def stats(self) -> dict:
         """Latency histogram (10 ms bins) + percentiles + FPS."""
-        lat = np.asarray(self._latencies, np.float64)
+        with self._latency_lock:
+            lat = np.asarray(self._latencies, np.float64)
         if lat.size == 0:
             return {"frames": 0}
         ms = lat * 1e3
@@ -453,18 +459,30 @@ def _make_handler(server: RenderServer):
                             if not loop:
                                 return
 
-                    for image in server.frames(cameras()):
-                        ok, buf = cv2.imencode(
-                            ".jpg",
-                            cv2.cvtColor(image, cv2.COLOR_RGB2BGR))
-                        assert ok
-                        payload = buf.tobytes()
-                        self.wfile.write(
-                            f"--{boundary}\r\nContent-Type: image/jpeg"
-                            f"\r\nContent-Length: {len(payload)}"
-                            "\r\n\r\n".encode())
-                        self.wfile.write(payload)
-                        self.wfile.write(b"\r\n")
+                    try:
+                        for image in server.frames(cameras()):
+                            ok, buf = cv2.imencode(
+                                ".jpg",
+                                cv2.cvtColor(image, cv2.COLOR_RGB2BGR))
+                            assert ok
+                            payload = buf.tobytes()
+                            self.wfile.write(
+                                f"--{boundary}\r\nContent-Type: "
+                                "image/jpeg"
+                                f"\r\nContent-Length: {len(payload)}"
+                                "\r\n\r\n".encode())
+                            self.wfile.write(payload)
+                            self.wfile.write(b"\r\n")
+                    except (BrokenPipeError, ConnectionResetError):
+                        pass
+                    except Exception:
+                        # the 200 + multipart headers are already on
+                        # the wire: falling through to the generic
+                        # handler would write a SECOND status line
+                        # into the body (protocol corruption) — just
+                        # end the stream (e.g. close() mid-stream)
+                        pass
+                    return
                 else:
                     self._send(404, "text/plain", b"not found")
             except (BrokenPipeError, ConnectionResetError):

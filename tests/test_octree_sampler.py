@@ -280,3 +280,19 @@ def test_occupancy_stratified_jitter_is_layout_invariant(tree, cameras):
     perm = np.random.default_rng(0).permutation(len(idx))
     t_perm = np.asarray(sampler.sample(idx[perm], rng=key).t_values)
     np.testing.assert_allclose(t_perm, t_fwd[perm], rtol=1e-6)
+
+
+def test_octree_stratified_jitter_is_layout_invariant(tree, cameras):
+    """The octree sampler's stratified quantiles are keyed by global
+    ray id (per_ray_uniform), matching the layout-invariance contract
+    of the other samplers — and sorted by construction, so no per-ray
+    sort (a TPU bitonic-network pathology) is needed."""
+    sampler = OctreeRaySampler(tree, cameras, num_samples=16)
+    object.__setattr__(sampler, "stratified", True)
+    idx = jnp.asarray(sampler._valid_for_camera(0)[:32])
+    key = jax.random.PRNGKey(7)
+    t_fwd = np.asarray(sampler.sample(idx, rng=key).t_values)
+    assert (np.diff(t_fwd, axis=-1) >= -1e-6).all()
+    perm = np.random.default_rng(0).permutation(len(idx))
+    t_perm = np.asarray(sampler.sample(idx[perm], rng=key).t_values)
+    np.testing.assert_allclose(t_perm, t_fwd[perm], rtol=1e-6)

@@ -240,3 +240,43 @@ def test_lazy_ray_tables(cameras, bounds):
     # unknown attributes still raise cleanly (no __getattr__ loops)
     with pytest.raises(AttributeError):
         sampler.not_an_attribute
+
+
+def test_render_frame_picks_up_occupancy_refresh(bounds, cameras):
+    """``set_occupancy_grid`` promises same-shape refreshes are picked
+    up with zero recompiles; the frame cache must therefore re-collect
+    the sampler's device arrays per call instead of serving the
+    build-time snapshot (regression: a cached geometry dict silently
+    rendered through the STALE occupancy grid)."""
+    import jax.numpy as jnp
+    from fourier_feature_nets_tpu.octree import OcTree
+    from fourier_feature_nets_tpu.render.occupancy_sampler import (
+        OccupancyGridSampler,
+    )
+    rng = np.random.default_rng(3)
+    points = rng.normal([0.4, 0.0, 0.0], 0.08, (4000, 3))
+    anchors = np.array([[-1, -1, -1], [1, 1, 1]], np.float64)
+    cloud = np.concatenate([points, anchors]).astype(np.float32)
+    tree = OcTree.build_from_samples(cloud, depth=5, min_leaf_size=2)
+
+    model = Voxels(side=8, scale=1.0)
+    params = model.init(jax.random.PRNGKey(0))
+    # an untrained Voxels field renders black (bias logit(1e-5)) —
+    # light it up so culled vs unculled frames are distinguishable
+    params = {"bias": params["bias"],
+              "voxels": jnp.full_like(params["voxels"], 15.0)}
+    caster = ffn.Raycaster(model)
+    sampler = OccupancyGridSampler(tree, cameras, num_samples=8,
+                                   grid_resolution=16, num_probes=8,
+                                   bounds=bounds)
+    before = caster.render_frame(params, sampler, 0, chunk_size=64,
+                                 cull_empty=True, probe_subsample=1)
+    assert (before != 0).any()
+
+    # an all-empty refreshed grid must cull EVERY ray (black frame);
+    # a stale snapshot would keep rendering the old occupancy
+    sampler.set_occupancy_grid(
+        np.zeros((sampler._grid_resolution,) * 3, np.float32))
+    after = caster.render_frame(params, sampler, 0, chunk_size=64,
+                                cull_empty=True, probe_subsample=1)
+    assert (after == 0).all(), "stale occupancy snapshot served"

@@ -536,3 +536,57 @@ def test_occupancy_fine_tune_tail(datasets):
     # the tail really runs on the base sampler
     assert seen["tail_steps"] and min(seen["tail_steps"]) >= 249, seen
     assert log[-1].val_psnr > 14.0, log[-1].val_psnr
+
+
+def test_reports_checkpoints_window_exact_with_occupancy_mix(
+        datasets, tmp_path):
+    """occupancy_mix widens each loop window from ``chunk`` to
+    chunk+mix steps, so report/checkpoint due-tests must cover the
+    whole [first, last] window (regression: the fixed-width
+    ``last % interval < chunk`` checkpoint test skipped every
+    interval multiple that landed in the mix portion)."""
+    import os
+
+    train, val = datasets
+    model = Voxels(side=8, scale=1.0)
+    caster = ffn.Raycaster(model)
+    ckpt_dir = str(tmp_path / "ckpts")
+    _, log = caster.fit(model.init(jax.random.PRNGKey(0)), train, val,
+                        batch_size=256, learning_rate=0.05,
+                        num_steps=200, crop_steps=0,
+                        report_interval=50, decay_rate=0.9,
+                        decay_steps=25000, steps_per_call=10,
+                        occupancy_interval=1000, occupancy_samples=16,
+                        occupancy_start=50, occupancy_mix=5,
+                        checkpoint_dir=ckpt_dir,
+                        checkpoint_interval=50)
+    # windows after activation are 15 steps wide: every multiple of 50
+    # must be covered by a LogEntry within its window
+    steps = [entry.step for entry in log]
+    for multiple in (50, 100, 150, 200):
+        assert any(multiple <= s < multiple + 15 for s in steps), \
+            (multiple, steps)
+    # checkpoints fire on the same windows (keep=3 prunes the oldest;
+    # step 100's window [96, 110] must survive among the newest 3)
+    ckpt_steps = sorted(int(name[5:-4]) for name in os.listdir(ckpt_dir)
+                        if name.startswith("ckpt_"))
+    assert any(100 <= s < 115 for s in ckpt_steps), ckpt_steps
+
+
+def test_report_window_exact_with_single_step_mix(datasets):
+    """chunk == 1 with occupancy_mix: `last` advances by 1 + mix per
+    iteration, so the old ``last % report_interval == 0`` test
+    silently skipped most reports."""
+    train, val = datasets
+    model = Voxels(side=8, scale=1.0)
+    caster = ffn.Raycaster(model)
+    _, log = caster.fit(model.init(jax.random.PRNGKey(0)), train, val,
+                        batch_size=256, learning_rate=0.05,
+                        num_steps=60, crop_steps=0, report_interval=20,
+                        decay_rate=0.9, decay_steps=25000,
+                        occupancy_interval=1000, occupancy_samples=16,
+                        occupancy_start=10, occupancy_mix=2)
+    steps = [entry.step for entry in log]
+    for multiple in (20, 40, 60):
+        assert any(multiple <= s < multiple + 3 for s in steps), \
+            (multiple, steps)
