@@ -148,6 +148,16 @@ def raycast_grid(cameras: List[CameraInfo]) -> Ray:
     sampler's layout, ray_sampler.py:133-175, computed here in one
     vectorized pass instead of a per-camera Python loop).
     """
+    if not cameras:
+        raise ValueError("raycast_grid needs at least one camera")
+    if any(camera.resolution != cameras[0].resolution
+           for camera in cameras):
+        # the global index layout assumes one shared H*W per camera;
+        # mixed resolutions would silently misalign per-camera offsets
+        raise ValueError(
+            "raycast_grid requires all cameras to share one "
+            "resolution; got "
+            + ", ".join(str(camera.resolution) for camera in cameras))
     points = pixel_grid(cameras[0].resolution)
     starts = []
     dirs = []

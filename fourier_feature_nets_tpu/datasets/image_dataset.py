@@ -223,6 +223,10 @@ class ImageDataset(RayDataset):
     def __len__(self) -> int:
         """Number of rays (valid or not) under the active mode
         (image_dataset.py:317-331 parity)."""
+        if self._mode == Mode.Full:
+            # _mode_index would allocate a fresh ~num_rays arange
+            # (~143 MB at 800px/28 cams) just to take its length
+            return self.sampler.num_rays
         return len(self._mode_index(self._mode))
 
     # ------------------------------------------------------------------
@@ -235,7 +239,10 @@ class ImageDataset(RayDataset):
         Local indices are remapped through the mode's index table then
         filtered to valid rays (image_dataset.py:364-386).
         """
-        idx = np.asarray(idx)
+        # scalars are promoted like the reference's list-normalization
+        # (image_dataset.py:377-378) — 0-d arrays would crash the
+        # boolean filters below
+        idx = np.atleast_1d(np.asarray(idx))
         if self._mode != Mode.Full:
             idx = self._mode_index(self._mode)[idx]
         if self._subsample_index:
@@ -272,8 +279,18 @@ class ImageDataset(RayDataset):
         return idx - camera_start
 
     def rays_for_camera(self, camera: int) -> RaySamples:
-        """Ray samples for one camera under the active mode."""
+        """Ray samples for one camera under the active mode.
+
+        Honors ``subsample_index`` like the reference (its
+        rays_for_camera routes through get_rays,
+        image_dataset.py:300-315) — scene-inspection consumers set a
+        sparse pixel set precisely so per-camera queries stay small
+        (ray_caster.py:436-442)."""
         idx = self.index_for_camera(camera)
+        if self._subsample_index:
+            keep = np.isin(idx, np.fromiter(self._subsample_index,
+                                            np.int64))
+            idx = idx[keep]
         idx = idx + camera * self.sampler.rays_per_camera
         return self.sampler.sample(jnp.asarray(idx), None)
 

@@ -63,7 +63,13 @@ class PixelDataset:
             pixels = pixels[:, start:start + pixels.shape[0]]
 
         if pixels.shape[0] != size:
-            pixels = cv2.resize(pixels, (size, size), cv2.INTER_AREA)
+            # NOTE: must be the KEYWORD — the third positional slot of
+            # cv2.resize is dst, so the reference's positional
+            # INTER_AREA (pixel_dataset.py:81) is silently ignored and
+            # it actually resizes with bilinear; area averaging is the
+            # correct downsampling filter (no aliasing)
+            pixels = cv2.resize(pixels, (size, size),
+                                interpolation=cv2.INTER_AREA)
 
         if color_space == "YCrCb":
             pixels = cv2.cvtColor(pixels, cv2.COLOR_BGR2YCrCb) / 255

@@ -28,15 +28,10 @@ beats dense grids at equal parameter budgets).
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from .module import Model, linear_apply, linear_init
+from .module import Model, linear_apply, linear_init, logit as _logit
 
 __all__ = ["FactorizedVoxels"]
-
-
-def _logit(x: float) -> float:
-    return float(np.log(x) - np.log1p(-x))
 
 
 class FactorizedVoxels(Model):
@@ -110,6 +105,12 @@ class FactorizedVoxels(Model):
         """
         side, rank = self.side, self.rank
         dtype = compute_dtype if compute_dtype is not None else jnp.float32
+        # default path = HIGHEST like linear_apply: the TPU default
+        # matmul pass would silently downcast the f32 hat weights to
+        # bf16 (~0.4% positional error per cell) even with
+        # compute_dtype=None (CLAUDE.md precision note)
+        precision = (jax.lax.Precision.HIGHEST
+                     if compute_dtype is None else None)
         coords = positions.reshape(-1, 3) / self.scale
         hats = self._hat_weights(coords).astype(dtype)
 
@@ -122,11 +123,13 @@ class FactorizedVoxels(Model):
             # rows = hat_a @ plane  (MXU), then a hat_b-weighted
             # reduction over the second plane axis (VPU)
             rows = jnp.dot(hats[:, axis_a], plane.reshape(side, -1),
+                           precision=precision,
                            preferred_element_type=jnp.float32)
             rows = rows.reshape(-1, side, rank)
             plane_val = jnp.sum(rows * hats[:, axis_b, :, None]
                                 .astype(rows.dtype), axis=1)
             vec_val = jnp.dot(hats[:, axis_v], vector,
+                              precision=precision,
                               preferred_element_type=jnp.float32)
             features.append(plane_val * vec_val)
 

@@ -16,9 +16,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["linear_init", "linear_apply", "mlp_init", "mlp_apply", "Model"]
+__all__ = ["linear_init", "linear_apply", "mlp_init", "mlp_apply",
+           "logit", "Model"]
 
 Params = Dict[str, jnp.ndarray]
+
+
+def logit(x: float) -> float:
+    """Inverse sigmoid (shared by the voxel models' reference-parity
+    bias init, voxels_model.py:26-31)."""
+    return float(np.log(x) - np.log1p(-x))
 
 
 def linear_init(rng: jax.Array, num_inputs: int, num_outputs: int,

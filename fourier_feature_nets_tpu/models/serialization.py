@@ -76,10 +76,17 @@ def _unflatten(flat):
 
 
 def save_model(model: Model, params, path: str):
-    """Saves a model + parameters to a self-describing NPZ checkpoint."""
+    """Saves a model + parameters to a self-describing NPZ checkpoint.
+
+    The checkpoint lands at EXACTLY ``path``: writing through an open
+    file handle stops ``np.savez`` from appending ``.npz`` to
+    non-.npz paths (which would strand the file where a later
+    ``load_model(path)`` cannot find it).
+    """
     manifest = {"type": model.model_type, "params": model.params_manifest}
     flat = _flatten(params)
-    np.savez(path, __manifest__=json.dumps(manifest), **flat)
+    with open(path, "wb") as handle:
+        np.savez(handle, __manifest__=json.dumps(manifest), **flat)
 
 
 def build_model(model_type: str, ctor_params: dict) -> Model:

@@ -11,16 +11,11 @@ opacity.
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.grid_sample import grid_sample_3d, grid_sample_3d_fast
-from .module import Model
+from .module import Model, logit as _logit
 
 __all__ = ["Voxels"]
-
-
-def _logit(x: float) -> float:
-    return float(np.log(x) - np.log1p(-x))
 
 
 class Voxels(Model):

@@ -112,3 +112,24 @@ class TestCameraPaths:
             ray = camera.raycast(np.array([[16.0, 16.0]]))
             to_origin = -pos / np.linalg.norm(pos)
             assert ray.direction[0] @ to_origin > 0.99
+
+
+def test_raycast_grid_rejects_mixed_resolutions():
+    """The global ray index layout assumes one shared H*W; mixed
+    resolutions must fail loudly instead of silently casting every
+    camera through camera 0's pixel grid."""
+    from fourier_feature_nets_tpu.cameras import (
+        CameraInfo,
+        Resolution,
+        raycast_grid,
+    )
+    intrinsics = np.array([[10.0, 0, 8], [0, 10.0, 8], [0, 0, 1]],
+                          np.float32)
+    extrinsics = np.eye(4, dtype=np.float32)
+    a = CameraInfo.create("a", Resolution(16, 16), intrinsics,
+                          extrinsics)
+    b = CameraInfo.create("b", Resolution(8, 8), intrinsics, extrinsics)
+    with pytest.raises(ValueError, match="resolution"):
+        raycast_grid([a, b])
+    with pytest.raises(ValueError):
+        raycast_grid([])

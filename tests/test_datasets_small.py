@@ -187,3 +187,21 @@ class TestLoadModelAssets:
         np.testing.assert_allclose(
             np.asarray(loaded_params["layers"][0]["weight"]),
             np.asarray(params["layers"][0]["weight"]))
+
+
+class TestResizeFilter:
+    def test_downsampling_uses_area_averaging(self, tmp_path):
+        """cv2.resize's third POSITIONAL arg is dst, not interpolation
+        (the reference falls into this trap at pixel_dataset.py:81 and
+        silently bilinear-resizes); the port must pass the keyword so
+        downsampling truly area-averages."""
+        # columns [0, 0, 0, 255] repeated: 4x area downscale averages
+        # to ~64 per output pixel, while bilinear samples between two
+        # zero columns and returns 0
+        img = np.zeros((16, 16, 3), np.uint8)
+        img[:, 3::4] = 255
+        path = str(tmp_path / "stripes.png")
+        _write_image(path, img)
+        ds = PixelDataset.create(path, "RGB", 4)
+        image = np.asarray(ds.image).astype(np.float32)
+        assert abs(image.mean() - 64.0) < 4.0, image.mean()

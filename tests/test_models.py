@@ -221,3 +221,19 @@ class TestSerialization:
         h = torch.relu(h @ torch.from_numpy(w0).T + torch.from_numpy(b0))
         theirs = (h @ torch.from_numpy(w1).T + torch.from_numpy(b1)).numpy()
         np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_save_model_exact_path_without_npz_suffix(tmp_path):
+    """np.savez appends '.npz' to bare paths; save_model must write to
+    EXACTLY the requested path or load_model(path) can't find the file
+    it just 'saved' (convert_checkpoint passes --output verbatim)."""
+    import os
+
+    model = Voxels(side=4, scale=1.0)
+    params = model.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "model.ckpt")
+    save_model(model, params, path)
+    assert os.path.exists(path), os.listdir(tmp_path)
+    assert not os.path.exists(path + ".npz")
+    loaded_model, loaded_params = load_model(path)
+    assert loaded_model.model_type == "voxels"

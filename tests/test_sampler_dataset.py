@@ -252,3 +252,31 @@ class TestRaycasterRender:
                                     batch_size=256)
         assert image.shape == (32, 32, 3)
         assert image.dtype == np.uint8
+
+
+class TestSubsampleAndScalars:
+    def test_rays_for_camera_honors_subsample_index(self, train_dataset):
+        """The reference's rays_for_camera routes through get_rays and
+        therefore honors subsample_index (ray_caster.py:436-442 uses
+        it to keep scene-inspection queries small); regression for the
+        port bypassing the filter."""
+        full = train_dataset.rays_for_camera(0)
+        pixels = {int(i) for i in
+                  np.asarray(full.rays)[:8] % train_dataset.sampler
+                  .rays_per_camera}
+        train_dataset.subsample_index = pixels
+        try:
+            subset = train_dataset.rays_for_camera(0)
+        finally:
+            train_dataset.subsample_index = None
+        got = {int(i) % train_dataset.sampler.rays_per_camera
+               for i in np.asarray(subset.rays)}
+        assert got <= pixels
+        assert len(np.asarray(subset.rays)) <= len(pixels)
+        assert len(np.asarray(subset.rays)) < len(np.asarray(full.rays))
+
+    def test_get_rays_accepts_scalar_index(self, train_dataset):
+        """Reference get_rays normalizes scalars
+        (image_dataset.py:377-378)."""
+        rays = train_dataset.get_rays(5, 0)
+        assert np.asarray(rays.positions).ndim == 3
