@@ -30,9 +30,14 @@ class Path(NamedTuple):
 
 def _sorted_member(arr: jnp.ndarray, ids: jnp.ndarray):
     """(found, index) of ids in the sorted array arr."""
-    index = jnp.searchsorted(arr, ids)
+    if arr.shape[0] == 0:
+        # root-only trees have an empty node_index: gathering a
+        # size-1 slice from a zero-length array is a trace-time error
+        return (jnp.zeros(ids.shape, bool),
+                jnp.zeros(ids.shape, jnp.int32))
+    index = jnp.searchsorted(arr, ids).astype(jnp.int32)
     clipped = jnp.minimum(index, arr.shape[0] - 1)
-    found = (arr.shape[0] > 0) & (arr[clipped] == ids)
+    found = arr[clipped] == ids
     return found, index
 
 
@@ -138,7 +143,14 @@ def device_batch_intersect(node_index: jnp.ndarray,
 
         out_t = jnp.where(active, t, root_t1)
         out_leaf = jnp.where(active, leaf, -1)
-        next_t = jnp.where(active, jnp.maximum(cell_t1, t) + 1e-5, t)
+        # forward-progress guard: a fixed +1e-5 nudge underflows one
+        # f32 ulp once t >= ~256 (ulp(t) = t * 2^-24), stalling the
+        # march on the same cell — the relative term keeps the nudge
+        # above an ulp at any depth (reference escape loop,
+        # octree.py:451-458; C++ uses nextafter)
+        base = jnp.maximum(cell_t1, t)
+        next_t = jnp.where(active,
+                           base + jnp.maximum(1e-5, base * 1e-6), t)
         next_stop = stop + active.astype(jnp.int32)
         return (next_t, next_stop), (out_t, out_leaf, active)
 

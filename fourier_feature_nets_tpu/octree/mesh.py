@@ -104,9 +104,24 @@ def sample_barycentric_point_cloud(vertex_positions: np.ndarray,
 
 
 def _align_vectors(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Rotation matrix aligning unit vector a to b (Rodrigues)."""
+    """Rotation matrix aligning unit vector a to b (Rodrigues).
+
+    The reference divides by (1 + cos) unguarded (octree.py:160-171)
+    and returns NaN for antiparallel inputs — a valid y-down
+    ``up_dir`` would silently produce an all-NaN octree; handle the
+    degenerate case with an explicit 180-degree rotation instead.
+    """
     v = np.cross(a, b)
     cos = float(a @ b)
+    if cos < -1.0 + 1e-9:
+        # antiparallel: rotate pi around any axis orthogonal to a
+        axis = np.cross(a, [1.0, 0.0, 0.0])
+        if np.linalg.norm(axis) < 1e-9:
+            axis = np.cross(a, [0.0, 1.0, 0.0])
+        axis /= np.linalg.norm(axis)
+        transform = np.eye(4)
+        transform[:3, :3] = 2.0 * np.outer(axis, axis) - np.eye(3)
+        return transform
     vx = np.array([[0, -v[2], v[1]],
                    [v[2], 0, -v[0]],
                    [-v[1], v[0], 0]], np.float64)

@@ -155,6 +155,13 @@ class OcTree:
         if starts.ndim == 1:
             starts = starts.reshape(1, 3)
             directions = directions.reshape(1, 3)
+        if starts.shape != directions.shape:
+            # the C++ kernel sizes its loop from `starts` alone and
+            # would read past a shorter directions buffer (the
+            # reference asserts matching ranks, octree.py:722)
+            raise ValueError(
+                "starts and directions must have matching shapes; got "
+                f"{starts.shape} vs {directions.shape}")
 
         lib = load_library()
         if lib is not None:
@@ -202,7 +209,16 @@ class OcTree:
                            min_leaf_size: int,
                            data: Optional[np.ndarray] = None) -> "OcTree":
         """Builds a sparse octree from a point cloud
-        (octree.py:733-805 parity; C++ when available)."""
+        (octree.py:733-805 parity; C++ when available).
+
+        1-D ``data`` (one scalar per point, as the reference's
+        data[index].mean(0) accepted) is treated as a single-column
+        payload; leaf data then has shape (num_leaves, 1).
+        """
+        if data is not None:
+            data = np.asarray(data)
+            if data.ndim == 1:
+                data = data[:, None]
         positions = np.asarray(positions, np.float32).copy()
         min_pos = positions.min(0)
         max_pos = positions.max(0)

@@ -81,7 +81,14 @@ def make_shard_map_train_step(caster, dataset, batch_size: int,
              out_specs=(P(), P(), P()),
              check_vma=False)
     def device_steps(params, opt_state, perm, offset, step_no, rng, data):
-        sampler_t, dataset_t = caster._bind_data(dataset, data)
+        # pin the BUILD-time sampler: _bind_data resolves
+        # dataset.sampler at TRACE time, and fit's occupancy flow can
+        # swap it between build and first call — the trace would then
+        # silently bind the wrong sampler against this step's
+        # build-time `stratified` flag and collected tables (same
+        # contract as _make_train_step, raycaster._bind_data docs)
+        sampler_t, dataset_t = caster._bind_data(dataset, data,
+                                                 sampler=sampler)
         shard_start = jax.lax.axis_index(DATA_AXIS) * local_batch
         modulo = max(perm.shape[0] - batch_size + 1, 1)
 
@@ -127,8 +134,8 @@ def make_shard_map_train_step(caster, dataset, batch_size: int,
         """Re-collects the dataset/sampler device arrays (same-shape
         swaps cost no recompile) and replicates them over the mesh
         (multi-host aware)."""
-        state["data"] = put_replicated(caster._train_data(dataset),
-                                       mesh)
+        state["data"] = put_replicated(
+            caster._train_data(dataset, sampler=sampler), mesh)
 
     refresh()
 

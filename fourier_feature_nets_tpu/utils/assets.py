@@ -94,10 +94,19 @@ def download_asset(name: str, output_path: str) -> bool:
         res.raise_for_status()
         os.makedirs(os.path.dirname(os.path.abspath(output_path)),
                     exist_ok=True)
-        with open(output_path, "wb") as file:
-            for chunk in res.iter_content(chunk_size=1 << 16):
-                if chunk:
-                    file.write(chunk)
+        # stream into a temp file and rename on success: a mid-download
+        # failure must not leave a truncated file that later
+        # os.path.exists cache checks treat as a valid asset
+        partial_path = output_path + ".partial"
+        try:
+            with open(partial_path, "wb") as file:
+                for chunk in res.iter_content(chunk_size=1 << 16):
+                    if chunk:
+                        file.write(chunk)
+            os.replace(partial_path, output_path)
+        finally:
+            if os.path.exists(partial_path):
+                os.unlink(partial_path)
         return True
     except Exception as error:  # air-gapped or transient failure
         print(f"Unable to download {name}: {error}")

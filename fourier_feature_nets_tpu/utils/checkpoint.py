@@ -175,16 +175,20 @@ class AsyncCheckpointer:
 
     def _prune(self):
         suffix = ".npz"
-        steps = []
+        entries = []
         for name in os.listdir(self.directory):
             if name.startswith(self.prefix) and name.endswith(suffix):
                 try:
-                    steps.append(int(name[len(self.prefix):-len(suffix)]))
+                    entries.append(
+                        (int(name[len(self.prefix):-len(suffix)]), name))
                 except ValueError:
                     continue
-        for step in sorted(steps)[:-self.keep] if self.keep else []:
-            os.unlink(os.path.join(
-                self.directory, f"{self.prefix}{step:08d}{suffix}"))
+        # unlink the LISTED filename: reconstructing it as %08d would
+        # miss non-zero-padded names (e.g. hand-written via
+        # save_train_state) and raise FileNotFoundError out of a later
+        # unrelated save()/wait()
+        for _, name in sorted(entries)[:-self.keep] if self.keep else []:
+            os.unlink(os.path.join(self.directory, name))
 
 
 def latest_checkpoint(directory: str,

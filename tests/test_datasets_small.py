@@ -205,3 +205,31 @@ class TestResizeFilter:
         ds = PixelDataset.create(path, "RGB", 4)
         image = np.asarray(ds.image).astype(np.float32)
         assert abs(image.mean() - 64.0) < 4.0, image.mean()
+
+
+def test_download_asset_leaves_no_partial_file(monkeypatch, tmp_path):
+    """A mid-download failure must not leave a truncated file at the
+    output path — later os.path.exists cache checks would treat it as
+    a valid asset forever."""
+    import sys
+    import types
+
+    from fourier_feature_nets_tpu.utils import assets
+
+    class FlakyResponse:
+        def raise_for_status(self):
+            pass
+
+        def iter_content(self, chunk_size):
+            yield b"partial bytes"
+            raise ConnectionError("connection dropped mid-stream")
+
+    fake_requests = types.SimpleNamespace(
+        get=lambda url, stream, timeout: FlakyResponse())
+    monkeypatch.setitem(sys.modules, "requests", fake_requests)
+
+    out = str(tmp_path / "asset.npz")
+    name = next(iter(assets.ASSETS))
+    assert assets.download_asset(name, out) is False
+    assert not os.path.exists(out)
+    assert not os.path.exists(out + ".partial")

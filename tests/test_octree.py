@@ -237,3 +237,72 @@ class TestMeshSampling:
         # low-discrepancy: mean near the centroid
         np.testing.assert_allclose(barys[:64].mean(0), [1 / 3] * 3,
                                    atol=0.05)
+
+
+class TestReviewRegressions:
+    def test_device_query_root_only_tree(self):
+        """A root-only tree has an EMPTY node_index; the device query
+        must return gracefully instead of crashing on a zero-length
+        gather (the C++/reference paths return leaves for the root)."""
+        tree = OcTree(1.0, [], [0])
+        points = np.array([[0.0, 0.0, 0.0], [2.0, 0.0, 0.0]],
+                          np.float32)
+        leaves = np.asarray(tree.query_device(points))
+        assert leaves.shape == (2,)
+        assert leaves[1] == -1  # outside the volume
+
+    def test_intersect_rejects_mismatched_shapes(self, tree):
+        """The C++ kernel sizes its loop from starts alone — a shorter
+        directions buffer would be read out of bounds (the reference
+        asserts matching ranks, octree.py:722)."""
+        starts = np.zeros((4, 3), np.float32)
+        directions = np.array([0.0, 0.0, 1.0], np.float32)
+        with pytest.raises(ValueError, match="matching shapes"):
+            tree.intersect(starts, directions, max_length=8)
+
+    def test_build_accepts_1d_data(self, cloud):
+        """Reference build_from_samples accepted per-point SCALAR data
+        (data[index].mean(0)); 1-D payloads become one-column leaf
+        data."""
+        densities = np.linspace(0.0, 1.0, len(cloud)).astype(np.float64)
+        tree = OcTree.build_from_samples(cloud, depth=4,
+                                         min_leaf_size=4,
+                                         data=densities)
+        assert tree.leaf_data() is not None
+        data = np.asarray(tree.leaf_data())
+        assert data.ndim == 2 and data.shape[1] == 1
+        assert np.isfinite(data).all()
+
+    def test_device_intersect_advances_at_large_t(self, tree):
+        """At t >= ~256 one f32 ulp exceeds the old fixed +1e-5 nudge;
+        the march must still make forward progress instead of filling
+        every slot with the same stalled cell."""
+        starts = np.array([[0.0, 0.0, -1000.0]], np.float32)
+        dirs = np.array([[0.0, 0.0, 1.0]], np.float32)
+        path = tree.intersect_device(starts, dirs, max_length=64)
+        t = np.asarray(path.t_stops)[0]
+        leaves = np.asarray(path.leaves)[0]
+        # the ray crosses the volume: it must visit real leaves and
+        # the recorded depths must strictly increase while active
+        active = leaves >= 0
+        assert active.any()
+        active_t = t[np.asarray(path.leaves)[0] >= -1][: active.sum()]
+        diffs = np.diff(t[: max(active.sum(), 2)])
+        assert (diffs > 0).all(), t[:16]
+
+
+def test_normalize_points_antiparallel_up():
+    """A y-down asset (up_dir = -y) is a valid input: the reference's
+    unguarded Rodrigues (1 + cos) divides by zero and NaNs the whole
+    octree; the port must rotate 180 degrees instead."""
+    from fourier_feature_nets_tpu.octree.mesh import normalize_points
+
+    rng = np.random.default_rng(0)
+    verts = rng.normal(0, 1, (100, 3))
+    verts[:, 1] -= 3.0  # clearly "down" in -y
+    out = normalize_points(verts, np.array([0.0, -1.0, 0.0]))
+    assert np.isfinite(out).all()
+    # the formerly-down direction now points up (+y dominates)
+    down_most = out[np.argmin(verts[:, 1])]
+    up_most = out[np.argmax(verts[:, 1])]
+    assert down_most[1] > up_most[1]

@@ -590,3 +590,33 @@ def test_report_window_exact_with_single_step_mix(datasets):
     for multiple in (20, 40, 60):
         assert any(multiple <= s < multiple + 3 for s in steps), \
             (multiple, steps)
+
+
+def test_prune_unlinks_listed_filenames(tmp_path):
+    """_prune must unlink the filename it LISTED, not a %08d
+    reconstruction — a hand-written non-padded checkpoint (e.g. via
+    save_train_state) would otherwise raise FileNotFoundError out of a
+    later unrelated save()."""
+    from fourier_feature_nets_tpu.models import Voxels
+    from fourier_feature_nets_tpu.utils.checkpoint import (
+        AsyncCheckpointer,
+        save_train_state,
+    )
+
+    model = Voxels(side=4, scale=1.0)
+    params = model.init(jax.random.PRNGKey(0))
+    opt_state = adam_init(params)
+
+    directory = str(tmp_path)
+    # a non-zero-padded stale checkpoint dropped in by hand
+    save_train_state(f"{directory}/ckpt_7.npz", model,
+                     jax.tree.map(np.asarray, params),
+                     jax.tree.map(np.asarray, opt_state), 7, 0)
+    with AsyncCheckpointer(directory, keep=2) as writer:
+        for step in (10, 20, 30):
+            writer.save(model, params, opt_state, step)
+        writer.wait()
+    import os
+    names = sorted(os.listdir(directory))
+    assert "ckpt_7.npz" not in names, names
+    assert names == ["ckpt_00000020.npz", "ckpt_00000030.npz"], names
