@@ -147,18 +147,19 @@ def get_compute_dtype(args):
 
 
 def write_run_log(path, args, log):
-    """JSON args header + TSV of LogEntry rows (train_voxels.py:111-119)."""
+    """JSON args header + TSV of LogEntry rows (train_voxels.py:111-119).
+
+    The TSV body delegates to utils.progress.write_log so the format
+    consumed by sweep.best_metric_from_log has exactly one producer.
+    """
+    from ..utils.progress import write_log
+
     with open(path, "w") as file:
         json.dump({k: v for k, v in vars(args).items()
                    if isinstance(v, (int, float, str, bool, type(None)))},
                   file)
         file.write("\n\n")
-        file.write("\t".join(["step", "timestamp", "psnr_train",
-                              "psnr_val"]) + "\n")
-        for entry in log:
-            file.write("\t".join(str(v) for v in [
-                entry.step, entry.timestamp, entry.train_psnr,
-                entry.val_psnr]) + "\n")
+        write_log(file, log)
 
 
 def resolve_data_path(path: str) -> str:
@@ -167,10 +168,13 @@ def resolve_data_path(path: str) -> str:
     A non-existent path is resolved against the data cache when a
     cached copy exists (where ``ImageDataset.load`` downloads to) so
     callers that ALSO open the NPZ directly read the same file."""
-    if path.startswith("synthetic"):
+    parts = path.split(":")
+    # exact match on the scheme: startswith would hijack real files
+    # named e.g. synthetic_800.npz (same form as
+    # train_image_regression.py:79)
+    if parts[0] == "synthetic":
         from ..datasets.synthetic import load_or_generate
         from ..utils.assets import default_data_dir
-        parts = path.split(":")
         res = int(parts[1]) if len(parts) > 1 else 100
         out = os.path.join(default_data_dir(), f"synthetic_{res}.npz")
         return load_or_generate(out, resolution=res)

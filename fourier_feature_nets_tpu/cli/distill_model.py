@@ -60,8 +60,9 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--forward-dir", default="z-",
                         choices=sorted(VECTORS))
     parser.add_argument("--scale", type=float, default=2.0,
-                        help="Render-volume half extent (overridden "
-                             "by --data bounds)")
+                        help="Render-volume bounds diagonal; the cube "
+                             "half extent is scale/2 (overridden by "
+                             "--data bounds)")
     parser.add_argument("--uniform", action="store_true",
                         help="Uniform sample placement instead of the "
                              "teacher's density-grid occupancy CDF")
@@ -128,9 +129,14 @@ def main(argv=None) -> None:
         train_count = int(data["split_counts"][0])
         val_count = int(data["split_counts"][1])
         gt = data["images"][train_count:train_count + val_count]
-        gt_rgb = (gt[..., :3].astype(np.float32)
-                  * (gt[..., 3:4].astype(np.float32) / 255.0)
-                  ).astype(np.uint8)
+        if gt.shape[-1] == 4:
+            gt_rgb = (gt[..., :3].astype(np.float32)
+                      * (gt[..., 3:4].astype(np.float32) / 255.0)
+                      ).astype(np.uint8)
+        else:
+            # RGB-only datasets are valid NPZ schema
+            # (image_dataset.py:384); nothing to premultiply
+            gt_rgb = gt[..., :3]
     else:
         rig_res = Resolution(args.resolution, args.resolution)
         cameras = hemisphere(
@@ -149,7 +155,12 @@ def main(argv=None) -> None:
             stratified=True,
             grid_resolution=args.occupancy_resolution,
             alpha_threshold=args.density_threshold,
-            scale=float(bounds[0, 0]), bounds=bounds)
+            # half extent, NOT the bounds diagonal: the cube spans
+            # bounds @ [+-0.5, ..., 1] (raycaster.fit uses
+            # bounds_max[0] the same way) — the full diagonal would
+            # build the density grid over twice the volume per axis,
+            # wasting 7/8 of the cells
+            scale=float(bounds[0, 0]) / 2.0, bounds=bounds)
 
     student = NeRF(num_layers=args.student_layers,
                    num_channels=args.student_channels,

@@ -60,8 +60,13 @@ def main(argv=None):
                              (resolution.width, resolution.height))
     for i in gt_index:
         if width != height:
-            start = (width - height) // 2
-            image = images[i, :, start:start + height]
+            # center square crop on the LONG axis (portrait data
+            # needs a row crop; a column slice with a negative start
+            # silently extracted the wrong region)
+            side = min(width, height)
+            row0 = (height - side) // 2
+            col0 = (width - side) // 2
+            image = images[i, row0:row0 + side, col0:col0 + side]
         else:
             image = images[i]
         if image.shape[-1] == 4:

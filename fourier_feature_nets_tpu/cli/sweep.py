@@ -94,6 +94,14 @@ def best_metric_from_log(path: str, metric: str = "psnr_val") -> float:
                 except ValueError:
                     continue
                 best = max(best, -value if minimize else value)
+    if column is None:
+        # e.g. --metric psnr_val against train_signal_regression's
+        # step/train_loss/val_loss log: every run would score -inf
+        # and the sweep would declare an arbitrary 'best' after
+        # burning its full budget
+        print(f"WARNING: metric '{metric}' not found in {path} — "
+              "check --metric against the trainer's log columns",
+              file=sys.stderr)
     return best
 
 

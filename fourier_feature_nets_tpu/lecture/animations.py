@@ -47,13 +47,14 @@ def _save_frames(fig_fn, num_frames, output_dir, name, framerate=10):
         pixels = np.asarray(fig.canvas.buffer_rgba())[..., :3]
         plt.close(fig)
         path = os.path.join(frame_dir, f"frame_{i:04d}.png")
-        cv2.imwrite(path, cv2.cvtColor(pixels, cv2.COLOR_RGB2BGR))
+        bgr = cv2.cvtColor(pixels, cv2.COLOR_RGB2BGR)
+        cv2.imwrite(path, bgr)
         if writer is None:
             writer = cv2.VideoWriter(
                 os.path.join(output_dir, f"{name}.mp4"),
                 cv2.VideoWriter_fourcc(*"mp4v"), framerate,
                 (pixels.shape[1], pixels.shape[0]))
-        writer.write(cv2.cvtColor(pixels, cv2.COLOR_RGB2BGR))
+        writer.write(bgr)
     if writer is not None:
         writer.release()
 
@@ -336,6 +337,10 @@ def view_angle_animation(dataset, raycaster, params, output_dir,
     os.makedirs(frame_dir, exist_ok=True)
     writer = None
     half = patch_size // 2
+    # the inset must fit the frame: low-res datasets (e.g. the 100px
+    # synthetic scene) with the default zoom_size=128 would otherwise
+    # produce a negative slice start and a shape-mismatch crash
+    zoom_size = min(zoom_size, height, width)
     zoom_row = (height - zoom_size) // 2
     zoom_col = width + (width - zoom_size) // 2
     out = 0

@@ -141,9 +141,9 @@ def fourier1d_figure(signal_fn=None, num_samples=64, num_freqs=4,
     """
     plt = _agg_plt()
     if signal_fn is None:
-        def signal_fn(t):
-            return (2 + np.sin(t * np.pi) + 0.5 * np.sin(2 * t * np.pi)
-                    - 0.2 * np.cos(5 * t * np.pi))
+        # the canonical lecture signal — one definition
+        # (spectral_bias_figure and save_all_figures use the same)
+        from ..cli.train_signal_regression import multifreq as signal_fn
 
     t = np.linspace(0, 2, num_samples)
     y = signal_fn(t)

@@ -63,10 +63,21 @@ class LogEntry(NamedTuple):
     val_psnr: float
 
 
-def write_log(path: str, log) -> None:
-    """Writes the training log as TSV (train_nerf.py:145-153 parity)."""
+def write_log(path, log) -> None:
+    """Writes the training log as TSV (train_nerf.py:145-153 parity).
+
+    ``path`` may be an open file object (cli.common.write_run_log
+    appends the TSV after its JSON args header).
+    """
+    if hasattr(path, "write"):
+        _write_log_rows(path, log)
+        return
     with open(path, "w") as file:
-        file.write("step\ttimestamp\tpsnr_train\tpsnr_val\n")
-        for entry in log:
-            file.write(f"{entry.step}\t{entry.timestamp}\t"
-                       f"{entry.train_psnr}\t{entry.val_psnr}\n")
+        _write_log_rows(file, log)
+
+
+def _write_log_rows(file, log) -> None:
+    file.write("step\ttimestamp\tpsnr_train\tpsnr_val\n")
+    for entry in log:
+        file.write(f"{entry.step}\t{entry.timestamp}\t"
+                   f"{entry.train_psnr}\t{entry.val_psnr}\n")

@@ -110,16 +110,17 @@ class EvaluationVisualizer(Visualizer):
         self._index += 1
 
 
-class OrbitVideoVisualizer(Visualizer):
-    """One orbit frame per interval on a dedicated sampler
-    (visualizers.py:105-152)."""
+class _OrbitRigVisualizer(Visualizer):
+    """Shared setup for the orbit-video visualizers: a dedicated
+    distance-4 / fov-40 orbit rig over bounds 2*I (the reference's
+    construction, visualizers.py:116-128), one frame per interval."""
 
-    def __init__(self, results_dir: str, num_steps: int,
+    def __init__(self, results_dir: str, subdir: str, num_steps: int,
                  resolution: Resolution, num_frames: int,
                  num_samples: int, color_space: str):
-        video_dir = os.path.join(results_dir, "video")
-        os.makedirs(video_dir, exist_ok=True)
-        self._output_dir = video_dir
+        out_dir = os.path.join(results_dir, subdir)
+        os.makedirs(out_dir, exist_ok=True)
+        self._output_dir = out_dir
         cameras = orbit(np.array([0.0, 1.0, 0.0]),
                         np.array([0.0, 0.0, -1.0]), num_frames, 40,
                         Resolution(*resolution).square(), 4)
@@ -128,6 +129,17 @@ class OrbitVideoVisualizer(Visualizer):
         self._interval = max(1, num_steps // num_frames)
         self._index = 0
         self._color_space = color_space
+
+
+class OrbitVideoVisualizer(_OrbitRigVisualizer):
+    """One orbit frame per interval on a dedicated sampler
+    (visualizers.py:105-152)."""
+
+    def __init__(self, results_dir: str, num_steps: int,
+                 resolution: Resolution, num_frames: int,
+                 num_samples: int, color_space: str):
+        super().__init__(results_dir, "video", num_steps, resolution,
+                         num_frames, num_samples, color_space)
 
     def visualize(self, step: int, render: ImageRender,
                   _: ActivationRender):
@@ -144,24 +156,16 @@ class OrbitVideoVisualizer(Visualizer):
         self._index += 1
 
 
-class ActivationVisualizer(Visualizer):
+class ActivationVisualizer(_OrbitRigVisualizer):
     """Orbit video of the output-layer activation grid
     (visualizers.py:155-199)."""
 
     def __init__(self, results_dir: str, num_steps: int,
                  resolution: Resolution, num_frames: int,
                  num_samples: int, color_space: str):
-        act_dir = os.path.join(results_dir, "activations")
-        os.makedirs(act_dir, exist_ok=True)
-        self._output_dir = act_dir
-        cameras = orbit(np.array([0.0, 1.0, 0.0]),
-                        np.array([0.0, 0.0, -1.0]), num_frames, 40,
-                        Resolution(*resolution).square(), 4)
-        bounds = np.eye(4, dtype=np.float32) * 2
-        self._sampler = RaySampler(bounds, cameras, num_samples)
-        self._interval = max(1, num_steps // num_frames)
-        self._index = 0
-        self._color_space = color_space
+        super().__init__(results_dir, "activations", num_steps,
+                         resolution, num_frames, num_samples,
+                         color_space)
 
     def visualize(self, step: int, _: ImageRender,
                   act_render: ActivationRender):

@@ -233,3 +233,20 @@ def test_download_asset_leaves_no_partial_file(monkeypatch, tmp_path):
     assert assets.download_asset(name, out) is False
     assert not os.path.exists(out)
     assert not os.path.exists(out + ".partial")
+
+
+def test_resolve_data_path_exact_scheme_match(tmp_path, monkeypatch):
+    """A real file named synthetic_*.npz must NOT be hijacked by the
+    'synthetic[:res]' scheme (exact split-on-colon match, not
+    startswith)."""
+    from fourier_feature_nets_tpu.cli.common import resolve_data_path
+
+    path = str(tmp_path / "synthetic_800.npz")
+    with open(path, "wb") as f:
+        f.write(b"not an npz")
+    assert resolve_data_path(path) == path
+
+    # the scheme itself still generates into the cache
+    monkeypatch.setenv("FFN_TPU_DATA_DIR", str(tmp_path / "cache"))
+    out = resolve_data_path("synthetic:24")
+    assert out.endswith("synthetic_24.npz") and os.path.exists(out)
