@@ -81,13 +81,19 @@ def build_parser() -> ArgumentParser:
 
 
 def _val_psnr(model, params, cameras, bounds, gt_rgb,
-              num_samples: int = 128) -> float:
-    """Reference eval protocol: uniform samples, whole-frame render."""
+              num_samples: int = 128, fused=None) -> float:
+    """Reference eval protocol: uniform samples, whole-frame render.
+
+    ``fused`` forwards the CLI's --fused/--no-fused so the PSNR is
+    measured on the same forward path the user selected (auto-default
+    otherwise re-enables the fused kernel on TPU even under
+    --no-fused).
+    """
     import jax.numpy as jnp
 
     from ..ops import psnr_from_mse
 
-    caster = Raycaster(model, compute_dtype=jnp.bfloat16)
+    caster = Raycaster(model, compute_dtype=jnp.bfloat16, fused=fused)
     sampler = RaySampler(bounds, cameras, num_samples)
     scores = []
     for cam in range(len(cameras)):
@@ -120,6 +126,10 @@ def main(argv=None) -> None:
                                       num_samples=args.num_samples)
         val_set = ImageDataset.load(data_path, "val",
                                     num_samples=args.num_samples)
+        if train_set is None or val_set is None:
+            # load() prints the download failure; mirror
+            # voxelize_model's clean exit instead of an AttributeError
+            return 1
         cameras = train_set.cameras
         bounds = np.asarray(train_set.sampler.bounds, np.float32)
         val_cameras = val_set.cameras
@@ -206,12 +216,12 @@ def main(argv=None) -> None:
 
     if gt_rgb is not None:
         psnr_s = _val_psnr(student, student_params, val_cameras,
-                           bounds, gt_rgb)
+                           bounds, gt_rgb, fused=args.fused)
         print(f"student val PSNR: {psnr_s:.2f} dB "
               "(128-sample uniform protocol)")
         if args.eval_teacher:
             psnr_t = _val_psnr(teacher, teacher_params, val_cameras,
-                               bounds, gt_rgb)
+                               bounds, gt_rgb, fused=args.fused)
             print(f"teacher val PSNR: {psnr_t:.2f} dB "
                   f"(distillation cost {psnr_t - psnr_s:+.2f} dB)")
 

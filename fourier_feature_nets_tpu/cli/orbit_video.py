@@ -154,6 +154,11 @@ def main(argv=None):
                                        cv2.COLOR_RGB2BGR))
 
     if args.chunked:
+        if args.data_parallel or args.early_term:
+            import sys
+            print("WARNING: --chunked is the single-device parity "
+                  "path; --data-parallel/--early-term are ignored",
+                  file=sys.stderr)
         for frame in range(args.num_frames):
             progress.next()
             write(frame, raycaster.render_image(params, sampler, frame,

@@ -62,6 +62,11 @@ def main(argv=None):
     positions, colors = raycaster.extract_surface(
         params, dataset, args.batch_size, args.alpha_threshold)
     print(f"voxelizing {len(positions)} surface points")
+    if len(positions) == 0:
+        print("no surface points above --alpha-threshold "
+              f"{args.alpha_threshold} — is the model trained? Try a "
+              "lower threshold.")
+        return 1
 
     tree = OcTree.build_from_samples(positions, args.depth,
                                      args.min_leaf_size, colors)

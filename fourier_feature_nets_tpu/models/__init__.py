@@ -9,7 +9,7 @@ from .fourier import (
 )
 from .factorized import FactorizedVoxels
 from .module import Model, linear_apply, linear_init, mlp_apply, mlp_init
-from .nerf import NeRF
+from .nerf import NeRF, flagship_nerf
 from .serialization import (load_model, load_torch_model,
                             save_model, save_torch_model)
 from .voxels import Voxels
@@ -27,6 +27,7 @@ __all__ = [
     "mlp_apply",
     "mlp_init",
     "NeRF",
+    "flagship_nerf",
     "Voxels",
     "load_model",
     "load_torch_model",

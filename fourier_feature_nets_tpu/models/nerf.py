@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..ops.encoding import positional_encoding_matrix
 from .module import Model, linear_apply, linear_init
 
-__all__ = ["NeRF"]
+__all__ = ["NeRF", "flagship_nerf"]
 
 
 class NeRF(Model):
@@ -132,3 +132,17 @@ class NeRF(Model):
             linear_apply(params["hidden_view"], outputs, compute_dtype))
         color = linear_apply(params["color_out"], outputs, compute_dtype)
         return jnp.concatenate([color, opacity], axis=-1)
+
+
+def flagship_nerf() -> NeRF:
+    """The flagship full-NeRF configuration (train_nerf.py:80-83
+    defaults: 8x256, pos 10 freq / log-scale 9, view 4 freq /
+    log-scale 3, skip at 4, raw inputs included).
+
+    Single source for the config the benchmarks, driver entry and
+    profiling tools all measure — a drifted copy would silently bench
+    a different model than training builds.
+    """
+    return NeRF(num_layers=8, num_channels=256, max_log_scale_pos=9.0,
+                num_freq_pos=10, max_log_scale_view=3.0, num_freq_view=4,
+                skips=[4], include_inputs=True)

@@ -57,12 +57,9 @@ def main():
             model, params, cameras, num_samples, bounds=bounds,
             grid_resolution=64, num_probes=32)
     else:
-        from fourier_feature_nets_tpu.models import NeRF
+        from fourier_feature_nets_tpu.models import flagship_nerf
         from fourier_feature_nets_tpu.octree import OcTree
-        model = NeRF(num_layers=8, num_channels=256,
-                     max_log_scale_pos=9.0, num_freq_pos=10,
-                     max_log_scale_view=3.0, num_freq_view=4,
-                     skips=[4], include_inputs=True)
+        model = flagship_nerf()
         params = model.init(jax.random.PRNGKey(0))
         res, num_samples = 800, 32
         rng = np.random.default_rng(1)

@@ -21,16 +21,14 @@ def main():
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from fourier_feature_nets_tpu.models import NeRF
+    from fourier_feature_nets_tpu.models import flagship_nerf
     from fourier_feature_nets_tpu.ops.fused_nerf import (
         _fast_sincos,
         _phases,
         prepare_fused_nerf,
     )
 
-    model = NeRF(num_layers=8, num_channels=256, max_log_scale_pos=9.0,
-                 num_freq_pos=10, max_log_scale_view=3.0,
-                 num_freq_view=4, skips=[4], include_inputs=True)
+    model = flagship_nerf()
     params = model.init(jax.random.PRNGKey(0))
     weights = prepare_fused_nerf(model, params, dtype=jnp.bfloat16)
 

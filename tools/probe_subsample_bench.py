@@ -21,7 +21,7 @@ def main():
     import jax.numpy as jnp
 
     from fourier_feature_nets_tpu.cameras import Resolution
-    from fourier_feature_nets_tpu.models import NeRF
+    from fourier_feature_nets_tpu.models import flagship_nerf
     from fourier_feature_nets_tpu.octree import OcTree
     from fourier_feature_nets_tpu.render.occupancy_sampler import (
         OccupancyGridSampler,
@@ -31,9 +31,7 @@ def main():
 
     res = int(sys.argv[1]) if len(sys.argv) > 1 else 800
 
-    model = NeRF(num_layers=8, num_channels=256, max_log_scale_pos=9.0,
-                 num_freq_pos=10, max_log_scale_view=3.0,
-                 num_freq_view=4, skips=[4], include_inputs=True)
+    model = flagship_nerf()
     params = model.init(jax.random.PRNGKey(0))
 
     rng = np.random.default_rng(1)
