@@ -238,3 +238,31 @@ def test_looping_stream_does_not_starve_frame_clients(server_url):
             "frame request starved by looping stream"
     finally:
         stream.close()
+
+
+def test_stats_concurrent_with_rendering(server_url):
+    """stats() iterates the latency deque while the resolver thread
+    appends — without the lock this intermittently raised
+    RuntimeError('deque mutated during iteration') under load."""
+    url, render_server = server_url
+    errors = []
+    done = threading.Event()
+
+    def poll_stats():
+        while not done.is_set():
+            try:
+                render_server.stats()
+            except Exception as error:  # noqa: BLE001 - collected
+                errors.append(error)
+                return
+
+    poller = threading.Thread(target=poll_stats, daemon=True)
+    poller.start()
+    try:
+        for _ in range(3):
+            for frame in render_server.frames(range(3)):
+                assert frame is not None
+    finally:
+        done.set()
+        poller.join(timeout=30)
+    assert not errors, errors
