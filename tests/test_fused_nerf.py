@@ -159,3 +159,29 @@ class TestFusedRaycaster:
         l2 = jax.tree.leaves(w2._asdict())
         assert any(not np.allclose(np.asarray(a), np.asarray(b))
                    for a, b in zip(l1, l2))
+
+
+# the S=42 ray-render bug showed shape-dependent kernel defects can
+# hide behind a single tested configuration — sweep the structural
+# axes (skip layout, raw-input concat, channel width)
+@pytest.mark.parametrize("config", [
+    dict(num_layers=2, num_channels=32, skips=[], include_inputs=False),
+    dict(num_layers=3, num_channels=48, skips=[1, 2],
+         include_inputs=True),
+    dict(num_layers=4, num_channels=64, skips=[2],
+         include_inputs=False),
+])
+def test_config_sweep_matches_reference(config):
+    model = NeRF(max_log_scale_pos=6.0, num_freq_pos=7,
+                 max_log_scale_view=2.0, num_freq_view=3, **config)
+    params = model.init(jax.random.PRNGKey(5))
+    rng = np.random.default_rng(5)
+    pos = jnp.asarray(rng.uniform(-1.5, 1.5, (96, 3)).astype(np.float32))
+    views = rng.normal(size=(96, 3)).astype(np.float32)
+    views /= np.linalg.norm(views, axis=-1, keepdims=True)
+    views = jnp.asarray(views)
+    ref = np.asarray(model.apply(params, pos, views))
+    weights = prepare_fused_nerf(model, params, dtype=jnp.float32)
+    out = np.asarray(fused_nerf_apply(model, weights, pos, views,
+                                      tile=32, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=2e-4)

@@ -111,3 +111,36 @@ def test_fused_fit_trains(nerf):
 
         # both paths train; fused PSNR tracks the XLA path closely
         assert results[True] == pytest.approx(results[False], abs=0.5)
+
+
+@pytest.mark.parametrize("config", [
+    dict(num_layers=2, num_channels=32, skips=[], include_inputs=False),
+    dict(num_layers=3, num_channels=48, skips=[1, 2],
+         include_inputs=True),
+])
+def test_gradients_match_autodiff_config_sweep(config, batch):
+    """The recompute-backward kernel re-derives the skip/encode
+    structure independently of the forward; sweep the structural axes
+    (no skips, double skips, raw-input concat off) for gradient
+    parity."""
+    model = NeRF(max_log_scale_pos=4.0, num_freq_pos=5,
+                 max_log_scale_view=2.0, num_freq_view=3, **config)
+    params = model.init(jax.random.PRNGKey(6))
+    pos, views, target = batch
+    statics = model_statics(model, dtype=jnp.float32)
+
+    def loss_fused(p):
+        packed = pack_fused_nerf(model, p, dtype=jnp.float32)
+        out = fused_nerf_train_apply(statics, packed, pos, views, 128,
+                                     True)
+        return jnp.mean(jnp.square(jax.nn.sigmoid(out) - target))
+
+    def loss_ref(p):
+        out = model.apply(p, pos, views)
+        return jnp.mean(jnp.square(jax.nn.sigmoid(out) - target))
+
+    g_fused = jax.grad(loss_fused)(params)
+    g_ref = jax.grad(loss_ref)(params)
+    for a, b in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
