@@ -1484,8 +1484,13 @@ class Raycaster:
                         train_psnr = validate(trainval_dataset, last)
                         val_psnr = validate(val_dataset, last)
                         current_time = time.time()
-                        time_per_step = ((current_time - start_time) / last
-                                         if last >= report_interval else 0)
+                        # denominator: steps executed THIS run — the
+                        # absolute step would underestimate s/step by
+                        # start_step/last after a checkpoint resume
+                        steps_run = last - start_step
+                        time_per_step = (
+                            (current_time - start_time) / steps_run
+                            if steps_run >= report_interval else 0)
                         print("{:07}".format(last),
                               "{:2f} s/step".format(time_per_step),
                               "psnr_train: {:2f}".format(train_psnr),
