@@ -1,0 +1,147 @@
+"""On-TPU parity validation of the fused Pallas kernels vs XLA.
+
+Runs the production fused inference kernel (ops/fused_nerf.py), the
+fused custom-VJP training kernel (ops/fused_nerf_train.py) and the
+alternative fully-fused ray renderer (ops/fused_ray_render.py) on the
+REAL TPU and checks their outputs/gradients against the XLA forward
+at several model configurations and sample counts — the fast way to
+certify a kernel refactor compiles under Mosaic and stays numerically
+correct on hardware (interpret-mode tests can't catch Mosaic-only
+lowering differences like the reciprocal-division gate hazard,
+CLAUDE.md).
+
+Usage: python -m tools.validate_kernels_tpu  (from the repo root)
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def _check(name, actual, expected, atol):
+    err = float(np.max(np.abs(np.asarray(actual, np.float32)
+                              - np.asarray(expected, np.float32))))
+    status = "OK " if err <= atol else "FAIL"
+    print(f"{status} {name}: max err {err:.2e} (atol {atol:g})")
+    return err <= atol
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from fourier_feature_nets_tpu.models import NeRF, flagship_nerf
+    from fourier_feature_nets_tpu.ops.fused_nerf import (
+        fused_nerf_apply,
+        on_tpu_default,
+        prepare_fused_nerf,
+    )
+    from fourier_feature_nets_tpu.ops.fused_nerf_train import (
+        fused_nerf_train_apply,
+        model_statics,
+        pack_fused_nerf,
+    )
+    from fourier_feature_nets_tpu.ops.fused_ray_render import (
+        fused_ray_render,
+    )
+    from fourier_feature_nets_tpu.render.raycaster import Raycaster
+    from fourier_feature_nets_tpu.render.ray_sampler import RaySamples
+
+    device = jax.devices()[0]
+    print(f"device: {device}", file=sys.stderr)
+    ok = True
+    rng = np.random.default_rng(0)
+
+    configs = [
+        ("flagship 8x256", flagship_nerf()),
+        ("2x32 no-skip no-raw",
+         NeRF(num_layers=2, num_channels=32, max_log_scale_pos=3.0,
+              num_freq_pos=4, max_log_scale_view=1.0, num_freq_view=2,
+              skips=[], include_inputs=False)),
+    ]
+
+    for label, model in configs:
+        params = model.init(jax.random.PRNGKey(0))
+        n = 4096
+        pos = jnp.asarray(rng.uniform(-1.5, 1.5, (n, 3)).astype(np.float32))
+        views = rng.normal(size=(n, 3)).astype(np.float32)
+        views /= np.linalg.norm(views, axis=-1, keepdims=True)
+        views = jnp.asarray(views)
+        ref = np.asarray(model.apply(params, pos, views))
+
+        # inference kernel, f32 (tight) and bf16 (production dtype)
+        t0 = time.time()
+        w32 = prepare_fused_nerf(model, params, dtype=jnp.float32)
+        out = fused_nerf_apply(model, w32, pos, views, tile=2048)
+        ok &= _check(f"fused_nerf f32 [{label}]", out, ref, 5e-3)
+        wbf = prepare_fused_nerf(model, params, dtype=jnp.bfloat16)
+        out = fused_nerf_apply(model, wbf, pos, views, tile=2048)
+        ok &= _check(f"fused_nerf bf16 [{label}]", out, ref, 0.2)
+        print(f"  (compile+run {time.time() - t0:.1f}s)",
+              file=sys.stderr)
+
+        # training kernel: forward + gradient parity vs autodiff
+        statics = model_statics(model, dtype=jnp.float32)
+        target = jnp.asarray(rng.uniform(0, 1, (n, 4)).astype(np.float32))
+
+        def loss_fused(p, model=model, statics=statics, pos=pos,
+                       views=views, target=target):
+            packed = pack_fused_nerf(model, p, jnp.float32)
+            out = fused_nerf_train_apply(statics, packed, pos, views,
+                                         512, not on_tpu_default())
+            return jnp.mean(jnp.square(jax.nn.sigmoid(out) - target))
+
+        def loss_ref(p, model=model, pos=pos, views=views,
+                     target=target):
+            out = model.apply(p, pos, views)
+            return jnp.mean(jnp.square(jax.nn.sigmoid(out) - target))
+
+        t0 = time.time()
+        l1, g1 = jax.jit(jax.value_and_grad(loss_fused))(params)
+        l2, g2 = jax.jit(jax.value_and_grad(loss_ref))(params)
+        ok &= _check(f"fused_train loss [{label}]", l1, l2, 1e-4)
+        grad_err = max(
+            float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                  - b.astype(jnp.float32))))
+            for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)))
+        status = "OK " if grad_err < 5e-3 else "FAIL"
+        ok &= grad_err < 5e-3
+        print(f"{status} fused_train grads [{label}]: "
+              f"max err {grad_err:.2e}")
+        print(f"  (compile+run {time.time() - t0:.1f}s)",
+              file=sys.stderr)
+
+    # fully-fused ray renderer at the S values the gate bug hit
+    model = NeRF(num_layers=4, num_channels=64, max_log_scale_pos=9.0,
+                 num_freq_pos=10, max_log_scale_view=3.0,
+                 num_freq_view=4, skips=[2], include_inputs=True)
+    params = model.init(jax.random.PRNGKey(1))
+    caster = Raycaster(model, fused=False)
+    weights = prepare_fused_nerf(model, params, dtype=jnp.float32)
+    for num_samples in (42, 48, 128):
+        R = 64
+        t = np.sort(rng.uniform(1, 4, (R, num_samples))
+                    .astype(np.float32), -1)
+        d = rng.normal(size=(R, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        start = rng.uniform(-0.5, 0.5, (R, 3)).astype(np.float32)
+        p3 = (start[:, None] + t[..., None] * d[:, None]).astype(
+            np.float32)
+        v3 = np.ascontiguousarray(np.broadcast_to(d[:, None], p3.shape))
+        samples = RaySamples(jnp.asarray(p3), jnp.asarray(v3),
+                             jnp.asarray(t), None)
+        ref = caster.render(params, samples)
+        out = fused_ray_render(model, weights, jnp.asarray(p3),
+                               jnp.asarray(d), jnp.asarray(t))
+        ok &= _check(f"fused_ray_render S={num_samples} color",
+                     out[:, :3], ref.color, 5e-3)
+        ok &= _check(f"fused_ray_render S={num_samples} alpha",
+                     out[:, 3], ref.alpha, 5e-3)
+
+    print("ALL OK" if ok else "FAILURES — see above")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
