@@ -620,3 +620,48 @@ def test_prune_unlinks_listed_filenames(tmp_path):
     names = sorted(os.listdir(directory))
     assert "ckpt_7.npz" not in names, names
     assert names == ["ckpt_00000020.npz", "ckpt_00000030.npz"], names
+
+
+def test_resume_into_occupancy_phase(datasets, tmp_path):
+    """Resuming from a checkpoint taken BEFORE occupancy_start must
+    activate occupancy-guided sampling on schedule after the resume
+    (start_step bookkeeping, window-exact activation, sampler
+    restored at exit)."""
+    from fourier_feature_nets_tpu.render.occupancy_sampler import (
+        OccupancyGridSampler,
+    )
+
+    train, val = datasets
+    base_sampler = train.sampler
+    model = Voxels(side=8, scale=1.0)
+    caster = ffn.Raycaster(model)
+    ckpt_dir = str(tmp_path / "ckpts")
+    common = dict(batch_size=256, learning_rate=0.05, crop_steps=0,
+                  report_interval=100, decay_rate=0.9,
+                  decay_steps=25000, steps_per_call=10,
+                  checkpoint_dir=ckpt_dir, checkpoint_interval=50)
+
+    # phase 1: stop before occupancy_start
+    caster.fit(model.init(jax.random.PRNGKey(0)), train, val,
+               num_steps=100, **common)
+
+    seen = {}
+
+    class Probe:
+        _interval = 10
+
+        def visualize(self, step, render, act_render):
+            if isinstance(train.sampler, OccupancyGridSampler):
+                seen.setdefault("first", step)
+
+    # phase 2: resume; occupancy_start=150 falls in THIS run
+    _, log = caster.fit(model.init(jax.random.PRNGKey(0)), train, val,
+                        num_steps=260, resume=True,
+                        occupancy_interval=100, occupancy_samples=16,
+                        occupancy_start=150, visualizers=[Probe()],
+                        **common)
+    assert seen.get("first", 10**9) >= 150, seen
+    assert seen["first"] < 200, seen
+    assert train.sampler is base_sampler
+    # resumed log continues past the checkpointed step
+    assert log[0].step > 100
