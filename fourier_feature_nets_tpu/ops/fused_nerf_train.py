@@ -370,6 +370,23 @@ def _bwd_call(model_static, weights: FusedNeRFWeights, positions,
     return unflatten_fused_weights(weights, grads)
 
 
+def _validate_packed(model_static, weights: FusedNeRFWeights):
+    """Rejects the double-angle packed layout: both the forward (with
+    model_statics' pos_double/view_double=False) and the recompute
+    backward emit (cos, sin[, raw]) encode parts and would silently
+    zip-truncate against a single permuted part (same guard as
+    fused_ray_render)."""
+    expected = 3 if model_static[2] else 2
+    if (len(weights.first_parts) != expected
+            or len(weights.hidden_parts) != 1 + expected):
+        raise ValueError(
+            "fused_nerf_train_apply requires non-doubled packed "
+            "weights (pack_fused_nerf); got "
+            f"{len(weights.first_parts)} positional / "
+            f"{len(weights.hidden_parts) - 1} view encode parts, "
+            f"expected {expected}.")
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5))
 def fused_nerf_train_apply(model_static, weights: FusedNeRFWeights,
                            positions, views, tile: int = 512,
@@ -381,12 +398,14 @@ def fused_nerf_train_apply(model_static, weights: FusedNeRFWeights,
     gradients flow through the packing automatically). N must be a
     multiple of ``tile``.
     """
+    _validate_packed(model_static, weights)
     return _fused_call(model_static, weights, positions, views,
                        tile=tile, interpret=interpret)
 
 
 def _train_fwd(model_static, weights, positions, views, tile,
                interpret):
+    _validate_packed(model_static, weights)
     out = _fused_call(model_static, weights, positions, views,
                       tile=tile, interpret=interpret)
     return out, (weights, positions, views)

@@ -144,3 +144,23 @@ def test_gradients_match_autodiff_config_sweep(config, batch):
     for a, b in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-5)
+
+
+def test_rejects_doubled_weights(nerf, batch):
+    """prepare_fused_nerf(use_doubling=True) weights must be rejected:
+    the train kernels' encode always emits (cos, sin[, raw]) parts and
+    would silently zip-truncate against the single permuted part."""
+    from fourier_feature_nets_tpu.ops.fused_nerf import (
+        prepare_fused_nerf,
+    )
+    # a doubling-eligible config (consecutive powers of two)
+    model = NeRF(num_layers=2, num_channels=32, max_log_scale_pos=4.0,
+                 num_freq_pos=5, max_log_scale_view=2.0,
+                 num_freq_view=3, skips=[1], include_inputs=True)
+    params = model.init(jax.random.PRNGKey(0))
+    doubled = prepare_fused_nerf(model, params, dtype=jnp.float32,
+                                 use_doubling=True)
+    pos, views, _ = batch
+    statics = model_statics(model, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="non-doubled"):
+        fused_nerf_train_apply(statics, doubled, pos, views, 128, True)
