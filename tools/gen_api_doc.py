@@ -30,6 +30,8 @@ SECTIONS = [
     ("fourier_feature_nets_tpu.render", "Ray sampling + raycasting"),
     ("fourier_feature_nets_tpu.parallel", "Multi-chip parallelism"),
     ("fourier_feature_nets_tpu.octree", "Sparse octree"),
+    ("fourier_feature_nets_tpu.mesh_export",
+     "Isosurface mesh extraction"),
     ("fourier_feature_nets_tpu.utils", "Training utilities"),
     ("fourier_feature_nets_tpu.visualizers", "Visualization hooks"),
     ("fourier_feature_nets_tpu.lecture", "Lecture companion"),
