@@ -700,6 +700,26 @@ python -m fourier_feature_nets_tpu.cli.sweep train_tiny_nerf \\
     --space "learning-rate=loguniform(1e-5,1e-2)" \\
     --sweep-dir results/sweep -- synthetic positional --num-steps 2000
 ```
+
+And when the field should leave the framework entirely,
+`export_mesh.py` extracts a watertight colored triangle mesh
+(surface-nets dual contouring over the model's per-cell alpha — the
+same threshold semantics as the occupancy tooling) that any external
+renderer or DCC tool can open:
+
+```bash
+python export_mesh.py results/nerf/nerf.npz results/nerf.obj \\
+    --resolution 256 --alpha-threshold 0.5
+```
+""")
+
+code("""
+# mesh extraction in-process: a watertight, outward-wound OBJ
+from fourier_feature_nets_tpu.mesh_export import mesh_from_model
+
+vertices, triangles, colors = mesh_from_model(
+    voxels, vox_params, resolution=64, alpha_threshold=0.5)
+print(f"{len(vertices)} vertices, {len(triangles)} triangles")
 """)
 
 md("""
