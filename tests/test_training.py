@@ -615,7 +615,10 @@ def test_prune_unlinks_listed_filenames(tmp_path):
     with AsyncCheckpointer(directory, keep=2) as writer:
         for step in (10, 20, 30):
             writer.save(model, params, opt_state, step)
-        writer.wait()
+            # wait per save: the writer coalesces queued saves
+            # (latest wins under backpressure), which would leave
+            # fewer than `keep` padded files and never trigger prune
+            writer.wait()
     import os
     names = sorted(os.listdir(directory))
     assert "ckpt_7.npz" not in names, names
