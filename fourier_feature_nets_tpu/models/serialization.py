@@ -136,6 +136,12 @@ def load_model(path: str) -> Tuple[Model, dict]:
         manifest = json.loads(str(data["__manifest__"]))
         flat = {k: data[k] for k in data.files if k != "__manifest__"}
     model = build_model(manifest["type"], manifest["params"])
+    if manifest.get("format") == "ffn_tpu_train_state_v1":
+        # Resumable train-state checkpoint (utils/checkpoint.py): the
+        # model weights live under the params/ prefix next to the Adam
+        # moments; serve/orbit/distill callers want just the weights.
+        flat = {k[len("params/"):]: v for k, v in flat.items()
+                if k.startswith("params/")}
     return model, _unflatten(flat)
 
 

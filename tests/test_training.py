@@ -82,6 +82,29 @@ class TestCheckpoint:
                         jax.tree.leaves(params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
+    def test_load_model_reads_train_state(self, tmp_path):
+        """load_model on a resumable checkpoint returns ONLY the model
+        weights (serve/orbit/distill point at mid-training checkpoints;
+        the opt/ moments must not leak into the params pytree)."""
+        from fourier_feature_nets_tpu.models import load_model
+
+        model = Voxels(side=4, scale=1.0)
+        params = model.init(jax.random.PRNGKey(0))
+        opt = adam_init(params)
+        path = str(tmp_path / "ckpt_00000017.npz")
+        save_train_state(path, model, params, opt, step=17, seed=3)
+
+        loaded_model, loaded_params = load_model(path)
+        assert loaded_model.model_type == model.model_type
+        assert jax.tree.structure(loaded_params) == \
+            jax.tree.structure(params)
+        for a, b in zip(jax.tree.leaves(loaded_params),
+                        jax.tree.leaves(params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        # and the loaded tree actually drives the model
+        points = jnp.zeros((2, 3), jnp.float32)
+        loaded_model.apply(loaded_params, points)
+
     def test_latest_checkpoint(self, tmp_path):
         model = Voxels(side=4, scale=1.0)
         params = model.init(jax.random.PRNGKey(0))
