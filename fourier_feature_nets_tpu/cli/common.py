@@ -130,6 +130,11 @@ def make_visualizers(args, train_dataset, val_dataset, num_samples=None):
         return [OrbitVideoVisualizer(args.results_dir, args.num_steps,
                                      resolution, args.num_frames,
                                      num_samples, args.color_space)]
+    if args.image_interval <= 0:
+        # --image-interval 0 disables image artifacts entirely
+        # (benchmark runs); an interval of 0 would otherwise divide
+        # by zero inside the visualizer cadence check
+        return []
     return [EvaluationVisualizer(args.results_dir, train_dataset,
                                  args.image_interval),
             EvaluationVisualizer(args.results_dir, val_dataset,

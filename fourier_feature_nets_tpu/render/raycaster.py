@@ -11,6 +11,7 @@ axis across a ``jax.sharding.Mesh``; XLA inserts the gradient
 all-reduce over ICI automatically.
 """
 
+import collections
 import time
 from typing import List, Optional, Tuple
 
@@ -71,6 +72,36 @@ def _composite(color_o: jnp.ndarray, t_values: jnp.ndarray,
     return RenderResult(output_color, output_alpha, output_depth)
 
 
+class _LRUCache(collections.OrderedDict):
+    """Bounded LRU for compiled render executables.
+
+    A long-lived :class:`Raycaster` (e.g. inside ``RenderServer``)
+    accumulates one entry per (sampler, chunk size, cull/early-term
+    config, pose mode, mesh) combination in ``_render_fns``; each
+    frame entry's closure also strongly references its sampler and so
+    keeps that sampler's device tables (per-ray geometry, occupancy
+    rasters, CDFs) alive. Without a cap, a server cycling samplers or
+    render settings grows TPU executables and device memory forever.
+    Evicting least-recently-used entries drops both the executable and
+    the closure's sampler reference; a re-request simply recompiles.
+    """
+
+    def __init__(self, maxsize: int):
+        super().__init__()
+        self.maxsize = max(1, int(maxsize))
+
+    def __getitem__(self, key):
+        value = super().__getitem__(key)
+        self.move_to_end(key)
+        return value
+
+    def __setitem__(self, key, value):
+        super().__setitem__(key, value)
+        self.move_to_end(key)
+        while len(self) > self.maxsize:
+            self.popitem(last=False)
+
+
 class Raycaster:
     """Volumetric raycaster: renders rays through a radiance field and
     fits the field to a ray dataset."""
@@ -78,7 +109,8 @@ class Raycaster:
     def __init__(self, model: Model, compute_dtype=None,
                  fused: Optional[bool] = None,
                  fused_train: Optional[bool] = None,
-                 remat: bool = False):
+                 remat: bool = False,
+                 render_cache_size: int = 16):
         """Constructor.
 
         Args:
@@ -105,11 +137,17 @@ class Raycaster:
                 pass (jax.checkpoint) on the XLA training path —
                 trades FLOPs for activation memory, enabling larger
                 ray batches (the fused path recomputes by design).
+            render_cache_size: max compiled render executables kept
+                (LRU). Frame entries pin their sampler's device
+                tables, so a long-lived server cycling samplers or
+                settings needs the bound; the active sampler's
+                entries are always the most recently used and never
+                evicted mid-use.
         """
         self.model = model
         self.remat = remat
         self.compute_dtype = compute_dtype
-        self._render_fns = {}
+        self._render_fns = _LRUCache(render_cache_size)
         self._fused_weights = None
         # identity key via a STRONG reference: an id() key would go
         # stale when CPython reuses a freed params pytree's address

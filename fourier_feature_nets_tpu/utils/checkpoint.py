@@ -59,6 +59,16 @@ def load_train_state(path: str) -> TrainState:
         manifest = json.loads(str(data["__manifest__"]))
         flat = {k: data[k] for k in data.files if k != "__manifest__"}
 
+    fmt = manifest.get("format")
+    if fmt != "ffn_tpu_train_state_v1":
+        # a weights-only save_model NPZ shares the manifest scheme but
+        # carries no optimizer state; without this check it would fail
+        # later with an opaque KeyError on 'opt/step'
+        raise ValueError(
+            f"{path} is not a resumable train-state checkpoint "
+            f"(manifest format={fmt!r}); weights-only model files load "
+            "via models.load_model")
+
     model = build_model(manifest["type"], manifest["params"])
     params = _unflatten({k[len("params/"):]: v for k, v in flat.items()
                          if k.startswith("params/")})

@@ -82,6 +82,20 @@ class TestCheckpoint:
                         jax.tree.leaves(params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
+    def test_load_train_state_rejects_weights_only(self, tmp_path):
+        """A weights-only save_model NPZ is not resumable; pointing
+        load_train_state at one must fail with a clear ValueError, not
+        an opaque KeyError on 'opt/step' (ADVICE r3)."""
+        from fourier_feature_nets_tpu.models import save_model
+
+        model = Voxels(side=4, scale=1.0)
+        params = model.init(jax.random.PRNGKey(0))
+        path = str(tmp_path / "weights.npz")
+        save_model(model, params, path)
+
+        with pytest.raises(ValueError, match="not a resumable"):
+            load_train_state(path)
+
     def test_load_model_reads_train_state(self, tmp_path):
         """load_model on a resumable checkpoint returns ONLY the model
         weights (serve/orbit/distill point at mid-training checkpoints;

@@ -98,6 +98,18 @@ class TestCLIs:
         model, params = load_model(os.path.join(out, "voxels.npz"))
         assert model.side == 12
 
+    def test_train_voxels_cli_no_images(self, scene_path, tmp_path):
+        """--image-interval 0 disables visualizers (benchmark runs)
+        instead of dividing by zero in the cadence check."""
+        from fourier_feature_nets_tpu.cli.train_voxels import main
+        out = str(tmp_path / "voxels_noimg")
+        code = main([scene_path, "8", out, "--num-steps", "10",
+                     "--num-samples", "8", "--batch-size", "64",
+                     "--report-interval", "10", "--image-interval", "0"])
+        assert code == 0
+        assert not [name for name in os.listdir(out)
+                    if name.endswith(".png")]
+
     def test_train_tiny_nerf_cli(self, scene_path, tmp_path):
         from fourier_feature_nets_tpu.cli.train_tiny_nerf import main
         out = str(tmp_path / "tiny")
