@@ -3,6 +3,8 @@
 import json
 import os
 
+import numpy as np
+
 from ..datasets import ImageDataset, Mode
 from ..models import load_model
 from ..parallel import make_mesh
@@ -139,6 +141,29 @@ def make_visualizers(args, train_dataset, val_dataset, num_samples=None):
                                  args.image_interval),
             EvaluationVisualizer(args.results_dir, val_dataset,
                                  args.image_interval)]
+
+
+def save_best_model(results_dir, name, model, log):
+    """Writes ``<name>_best.npz`` — the report-interval snapshot with
+    the highest val PSNR.
+
+    Late NeRF training oscillates +/-2 dB between validation points
+    (docs/RESULTS.md trajectories), so the FINAL weights routinely sit
+    1-2 dB below the run's peak; serving/distillation want the peak.
+    ``fit`` already snapshots params per report interval into
+    LogEntry (the reference's in-memory pattern, ray_caster.py:359-362)
+    — this persists the argmax-val entry next to the final model.
+    """
+    from ..models import save_model
+    entries = [e for e in log if np.isfinite(e.val_psnr)]
+    if not entries:
+        return None
+    best = max(entries, key=lambda e: e.val_psnr)
+    path = os.path.join(results_dir, f"{name}_best.npz")
+    save_model(model, best.state, path)
+    print(f"best val checkpoint: step {best.step} "
+          f"({best.val_psnr:.2f} dB) -> {path}")
+    return path
 
 
 def get_mesh(args):

@@ -73,6 +73,7 @@ def main(argv=None):
                                 **common.fit_kwargs(args))
 
     save_model(model, params, os.path.join(args.results_dir, "nerf.npz"))
+    common.save_best_model(args.results_dir, "nerf", model, log)
     common.write_run_log(os.path.join(args.results_dir, "log.txt"),
                          args, log)
     return 0

@@ -105,6 +105,7 @@ def main(argv=None):
 
     save_model(model, params,
                os.path.join(args.results_dir, "tiny_nerf.npz"))
+    common.save_best_model(args.results_dir, "tiny_nerf", model, log)
     common.write_run_log(os.path.join(args.results_dir, "log.txt"),
                          args, log)
     return 0

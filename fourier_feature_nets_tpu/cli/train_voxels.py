@@ -72,6 +72,7 @@ def main(argv=None):
                                 **common.fit_kwargs(args))
 
     save_model(model, params, os.path.join(args.results_dir, "voxels.npz"))
+    common.save_best_model(args.results_dir, "voxels", model, log)
     common.write_run_log(os.path.join(args.results_dir, "log.txt"),
                          args, log)
     return 0

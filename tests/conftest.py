@@ -31,6 +31,29 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Applies the ``slow`` marker from tests/slow_tests.txt (prefix
+    match on node id) so ``pytest -m "not slow"`` is a <5-min inner
+    loop; the list is regenerated from --durations=0 output (see the
+    file header). Explicit @pytest.mark.slow decorators compose."""
+    listing = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+    try:
+        with open(listing) as file:
+            prefixes = tuple(line.strip() for line in file
+                             if line.strip()
+                             and not line.startswith("#"))
+    except OSError:
+        return
+    for item in items:
+        nodeid = item.nodeid.replace("\\", "/")
+        if not nodeid.startswith("tests/"):
+            # pytest reports node ids relative to the rootdir the
+            # suite was invoked from
+            nodeid = "tests/" + nodeid
+        if nodeid.startswith(prefixes):
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(20080524)

@@ -194,6 +194,7 @@ class TestSweepRunner:
         assert len([d for d in os.listdir(tmp_path / "sweep")
                     if d.startswith("trial_")]) == 10
 
+    @pytest.mark.slow
     def test_sweep_cli_end_to_end_subprocess(self, tmp_path):
         """Real subprocess grid sweep through the smallest trainer
         (1-D signal regression) — the actual user surface."""

@@ -97,6 +97,9 @@ class TestCLIs:
         assert os.path.exists(os.path.join(out, "log.txt"))
         model, params = load_model(os.path.join(out, "voxels.npz"))
         assert model.side == 12
+        # best-val snapshot persisted alongside the final weights
+        best_model, _ = load_model(os.path.join(out, "voxels_best.npz"))
+        assert best_model.side == 12
 
     def test_train_voxels_cli_no_images(self, scene_path, tmp_path):
         """--image-interval 0 disables visualizers (benchmark runs)
