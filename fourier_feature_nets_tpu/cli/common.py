@@ -143,6 +143,68 @@ def make_visualizers(args, train_dataset, val_dataset, num_samples=None):
                                  args.image_interval)]
 
 
+# Named serving/rendering presets (orbit_video + serve CLIs). Each is
+# a measured point on the speed/quality frontier (docs/RESULTS.md
+# § Distillation & serving presets); a preset only fills flags the
+# user left at their parser default, so explicit flags always win.
+# "fast" pairs naturally with a distilled student checkpoint
+# (cli/distill_model.py) — the teacher-sized model works but leaves
+# the speedup on the table.
+RENDER_PRESETS = {
+    "fast": {
+        # density-grid culling + the production 48-sample dose; early
+        # termination measured NEUTRAL at 48 samples, kept off
+        "density_grid": True,
+        "num_samples": 48,
+        "compute_dtype": "bfloat16",
+    },
+    "quality": {
+        # 96 guided samples (the dose that BEATS 128-uniform
+        # training quality) + early termination at its profitable
+        # operating point (1.15x at eps=1e-2, K=48)
+        "density_grid": True,
+        "num_samples": 96,
+        "early_term": 1e-2,
+        "early_split": 48,
+        "compute_dtype": "bfloat16",
+    },
+}
+
+
+def add_preset_arg(parser):
+    parser.add_argument("--preset", choices=sorted(RENDER_PRESETS),
+                        help="Named render/serving configuration "
+                             "(fills any flag you did not set "
+                             "explicitly): 'fast' = density-grid "
+                             "culling at 48 samples; 'quality' = 96 "
+                             "samples + early termination. Measured "
+                             "points in docs/RESULTS.md")
+
+
+def apply_render_preset(args, parser, argv=None):
+    """Fills preset values for flags the user did not pass.
+
+    Presence is decided from ``argv`` (not by comparing against
+    parser defaults — explicitly passing the default value must still
+    beat the preset)."""
+    import sys
+
+    preset = getattr(args, "preset", None)
+    if not preset:
+        return args
+    tokens = list(sys.argv[1:] if argv is None else argv)
+
+    def passed(name):
+        opt = "--" + name.replace("_", "-")
+        return any(tok == opt or tok.startswith(opt + "=")
+                   for tok in tokens)
+
+    for name, value in RENDER_PRESETS[preset].items():
+        if not passed(name):
+            setattr(args, name, value)
+    return args
+
+
 def save_best_model(results_dir, name, model, log):
     """Writes ``<name>_best.npz`` — the report-interval snapshot with
     the highest val PSNR.

@@ -47,6 +47,10 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--num-samples", type=int, default=128,
                         help="Supervision samples per ray")
     parser.add_argument("--learning-rate", type=float, default=5e-4)
+    parser.add_argument("--decay-rate", type=float, default=1.0,
+                        help="Exponential LR decay factor (applied "
+                             "over --decay-steps); 1.0 disables")
+    parser.add_argument("--decay-steps", type=int, default=0)
     parser.add_argument("--seed", type=int, default=20080524)
     parser.add_argument("--steps-per-call", type=int, default=100)
     parser.add_argument("--report-interval", type=int, default=1000)
@@ -196,6 +200,8 @@ def main(argv=None) -> None:
         num_steps=args.num_steps,
         batch_rays=args.batch_rays,
         learning_rate=args.learning_rate,
+        decay_rate=args.decay_rate,
+        decay_steps=args.decay_steps,
         seed=args.seed,
         steps_per_call=args.steps_per_call,
         fused_teacher=args.fused,

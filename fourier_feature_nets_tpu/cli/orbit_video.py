@@ -84,7 +84,10 @@ def _parse_args(argv=None):
                         "this MP4 file")
     parser.add_argument("--framerate", type=float, default=20,
                         help="MP4 frame rate")
-    return parser.parse_args(argv)
+    from .common import add_preset_arg, apply_render_preset
+    add_preset_arg(parser)
+    return apply_render_preset(parser.parse_args(argv), parser,
+                               argv)
 
 
 def build_render_sampler(args, model, params, cameras, bounds):

@@ -62,7 +62,10 @@ def _parse_args(argv=None):
     parser.add_argument("--early-split", type=int, default=0,
                         help="Samples before the termination test "
                         "(0 = half the budget)")
-    return parser.parse_args(argv)
+    from .common import add_preset_arg, apply_render_preset
+    add_preset_arg(parser)
+    return apply_render_preset(parser.parse_args(argv), parser,
+                               argv)
 
 
 def main(argv=None):

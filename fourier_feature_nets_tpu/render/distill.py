@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.optim import adam_init, adam_update
+from ..utils.optim import adam_init, adam_update, exponential_lr
 
 __all__ = ["distill"]
 
@@ -98,6 +98,8 @@ def distill(teacher, teacher_params, student, sampler,
             student_params=None,
             batch_rays: int = 1024,
             learning_rate: float = 5e-4,
+            decay_rate: float = 1.0,
+            decay_steps: int = 0,
             weight_decay: float = 0.0,
             seed: int = 20080524,
             steps_per_call: int = 100,
@@ -120,6 +122,10 @@ def distill(teacher, teacher_params, student, sampler,
         num_steps: total optimization steps.
         batch_rays: rays per step (samples/ray comes from the
             sampler).
+        decay_rate / decay_steps: per-step exponential LR schedule
+            ``lr * decay_rate ** (step / decay_steps)`` (utils.optim
+            .exponential_lr, the fit() schedule); the (1.0, 0)
+            default keeps the constant-LR behavior.
         rgb_floor: alpha-weight floor for the color term.
         fused_teacher / fused_student: force the Pallas kernels
             (default: auto — NeRF models on TPU).
@@ -207,11 +213,15 @@ def distill(teacher, teacher_params, student, sampler,
     def multi_step(params, opt_state, arrays, teacher_arg, step0):
         def body(carry, k):
             params, opt_state = carry
-            key = jax.random.fold_in(root_key, step0 + k)
+            step = step0 + k
+            key = jax.random.fold_in(root_key, step)
             loss, grads = jax.value_and_grad(loss_fn)(
                 params, arrays, teacher_arg, key)
+            lr = (exponential_lr(learning_rate, step, decay_rate,
+                                 decay_steps)
+                  if decay_steps else learning_rate)
             params, opt_state = adam_update(
-                grads, opt_state, params, learning_rate,
+                grads, opt_state, params, lr,
                 weight_decay=weight_decay)
             return (params, opt_state), loss
 

@@ -1,14 +1,21 @@
-"""Worker process for the two-process multi-host bootstrap test.
+"""Worker process for the multi-process multi-host tests.
 
 NOT a test module — launched by tests/test_multihost.py as
 ``python multihost_worker.py <process_id> <num_processes> <port>
-<scene.npz>``. Each process brings up 4 virtual CPU devices, joins the
-jax.distributed coordination service (the DCN bootstrap,
-SURVEY.md §2.2), builds the GLOBAL 8-device mesh, runs data-parallel
-training steps through the explicit-collective shard_map path, and
-exercises an occupancy-guided sampler swap + table refresh across
-processes. Prints one final line ``RESULT <loss1> <loss2> <loss3>``
-for the parent to cross-check between processes.
+<scene.npz> [mode] [local_devices]``. Each process brings up
+``local_devices`` virtual CPU devices, joins the jax.distributed
+coordination service (the DCN bootstrap, SURVEY.md §2.2) and builds
+the GLOBAL mesh. Modes:
+
+- ``collectives`` (default): data-parallel train steps through the
+  explicit-collective shard_map path, an occupancy-guided sampler
+  swap, and a cross-process table refresh.
+- ``fit``: the PRODUCTION jit path — ``Raycaster.fit(mesh=...)``
+  (GSPMD sharding-constraint step, scan-chunked, full validation
+  protocol) under a multi-process global mesh.
+
+Prints one final line ``RESULT <v1> <v2> ...`` for the parent to
+cross-check bit-identity between processes.
 """
 
 import os
@@ -18,6 +25,8 @@ process_id = int(sys.argv[1])
 num_processes = int(sys.argv[2])
 port = sys.argv[3]
 scene_path = sys.argv[4]
+mode = sys.argv[5] if len(sys.argv) > 5 else "collectives"
+local_devices = int(sys.argv[6]) if len(sys.argv) > 6 else 4
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 sys.path.insert(0, os.path.dirname(os.path.dirname(
@@ -32,7 +41,8 @@ from fourier_feature_nets_tpu.parallel import (  # noqa: E402
 
 # must run before any backend is touched
 assert initialize_distributed(f"localhost:{port}", num_processes,
-                              process_id, local_device_count=4)
+                              process_id,
+                              local_device_count=local_devices)
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -44,8 +54,8 @@ import numpy as np  # noqa: E402
 assert jax.process_count("cpu") == num_processes, (
     jax.process_count("cpu"))
 cpu_devices = jax.devices("cpu")
-assert len(cpu_devices) == 4 * num_processes, cpu_devices
-assert len(jax.local_devices(backend="cpu")) == 4
+assert len(cpu_devices) == local_devices * num_processes, cpu_devices
+assert len(jax.local_devices(backend="cpu")) == local_devices
 jax.config.update("jax_default_device",
                   jax.local_devices(backend="cpu")[0])
 
@@ -64,12 +74,32 @@ from fourier_feature_nets_tpu.utils import adam_init  # noqa: E402
 train = ffn.ImageDataset.load(scene_path, "train", num_samples=16,
                               stratified=True)
 
-mesh = make_mesh(cpu_devices)  # GLOBAL mesh across both processes
-assert mesh.devices.size == 4 * num_processes
+mesh = make_mesh(cpu_devices)  # GLOBAL mesh across all processes
+assert mesh.devices.size == local_devices * num_processes
 
 model = Voxels(side=8, scale=1.0)
 params = model.init(jax.random.PRNGKey(0))
 caster = ffn.Raycaster(model)
+
+if mode == "fit":
+    # production GSPMD path: the whole fit loop — scan-chunked jit
+    # train step with a sharding constraint on the ray batch,
+    # occupancy-guided phase, full validation protocol — under the
+    # multi-process global mesh
+    val = ffn.ImageDataset.load(scene_path, "val", num_samples=16,
+                                stratified=True)
+    params, log = caster.fit(params, train, val, batch_size=64,
+                             learning_rate=0.01, num_steps=12,
+                             crop_steps=4, report_interval=6,
+                             decay_rate=0.9, decay_steps=25000,
+                             mesh=mesh, seed=3, steps_per_call=2,
+                             occupancy_interval=6, occupancy_samples=8,
+                             occupancy_start=6)
+    checks = [entry.val_psnr for entry in log]
+    checks.append(float(np.mean(np.abs(
+        np.asarray(jax.tree.leaves(params)[0], np.float64)))))
+    print("RESULT " + " ".join(f"{v:.10f}" for v in checks))
+    sys.exit(0)
 
 batch = 64
 step = make_shard_map_train_step(caster, train, batch, 0.01, 0.9,

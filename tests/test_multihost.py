@@ -16,6 +16,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 from fourier_feature_nets_tpu.datasets.synthetic import (
     generate_synthetic_dataset,
@@ -30,12 +31,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_bootstrap_and_dp_fit(tmp_path):
-    scene = tmp_path / "scene.npz"
-    generate_synthetic_dataset(str(scene), resolution=24,
-                               split_counts=(3, 1, 1), volume_side=16,
-                               num_samples=64)
-
+def _run_workers(scene, num_processes, mode, local_devices):
     port = _free_port()
     env = dict(os.environ)
     # the workers bring up their own virtual CPU devices; drop the
@@ -45,11 +41,11 @@ def test_two_process_bootstrap_and_dp_fit(tmp_path):
 
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(pid), "2", str(port),
-             str(scene)],
+            [sys.executable, WORKER, str(pid), str(num_processes),
+             str(port), str(scene), mode, str(local_devices)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, env=env)
-        for pid in range(2)
+        for pid in range(num_processes)
     ]
     outputs = []
     for proc in procs:
@@ -65,12 +61,37 @@ def test_two_process_bootstrap_and_dp_fit(tmp_path):
         assert proc.returncode == 0, (
             f"worker {pid} failed:\n{out[-4000:]}")
 
-    # both processes must report identical (replicated) losses
+    # every process must report identical (replicated) results
     results = []
     for out in outputs:
         lines = [ln for ln in out.splitlines()
                  if ln.startswith("RESULT ")]
         assert lines, out[-2000:]
         results.append([float(v) for v in lines[-1].split()[1:]])
-    np.testing.assert_allclose(results[0], results[1], rtol=1e-7)
+    for other in results[1:]:
+        np.testing.assert_allclose(results[0], other, rtol=1e-7)
     assert all(np.isfinite(results[0]))
+
+
+@pytest.fixture()
+def scene(tmp_path):
+    path = tmp_path / "scene.npz"
+    generate_synthetic_dataset(str(path), resolution=24,
+                               split_counts=(3, 1, 1), volume_side=16,
+                               num_samples=64)
+    return path
+
+
+@pytest.mark.slow
+def test_two_process_bootstrap_and_dp_fit(scene):
+    _run_workers(scene, 2, "collectives", 4)
+
+
+@pytest.mark.slow
+def test_four_process_gspmd_fit(scene):
+    """The production jit path (fit with a GSPMD mesh: sharding
+    constraint on the ray batch, scan chunks, crop curriculum,
+    occupancy-guided phase, full validation) certified under a
+    4-process x 2-device global mesh — not just the explicit
+    shard_map collectives the bootstrap test covers."""
+    _run_workers(scene, 4, "fit", 2)

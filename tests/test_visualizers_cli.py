@@ -204,6 +204,27 @@ class TestCLIs:
         np.testing.assert_allclose(pos, ref_pos, atol=1e-4)
         np.testing.assert_allclose(col, ref_col, atol=1e-4)
 
+    def test_render_presets_fill_defaults_only(self):
+        """--preset fills flags left at their defaults; explicit
+        flags always win (cli/common.py RENDER_PRESETS)."""
+        from fourier_feature_nets_tpu.cli.orbit_video import _parse_args
+
+        args = _parse_args(["m.npz", "64", "/tmp/o",
+                            "--preset", "quality"])
+        assert args.density_grid
+        assert args.num_samples == 96
+        assert args.early_term == pytest.approx(1e-2)
+        assert args.early_split == 48
+        assert args.compute_dtype == "bfloat16"
+
+        args = _parse_args(["m.npz", "64", "/tmp/o", "--preset",
+                            "fast", "--num-samples", "32",
+                            "--compute-dtype", "float32"])
+        assert args.density_grid
+        assert args.num_samples == 32       # explicit beats preset
+        assert args.compute_dtype == "float32"
+        assert args.early_term == 0.0       # fast keeps early-term off
+
     def test_sweep_log_parsing(self, tmp_path):
         from fourier_feature_nets_tpu.cli.sweep import (
             best_metric_from_log,

@@ -4,11 +4,16 @@ through the pipelined MJPEG endpoint, and prints the /stats latency
 histogram — the serving-loop validation of the production frame path.
 
 Usage: python -m tools.serve_bench <model.npz> [resolution] [samples]
+           [--early-term EPS] [--early-split K] [--preset NAME]
+
+``--preset fast|quality`` applies the named serving configuration
+(cli/common.py RENDER_PRESETS) exactly as ``ffn-serve --preset``
+would, so the recorded numbers describe the shipped preset.
 """
 
+import argparse
 import json
 import socket
-import sys
 import threading
 import urllib.request
 
@@ -18,6 +23,7 @@ def main():
     import numpy as np
 
     from fourier_feature_nets_tpu.cameras import Resolution
+    from fourier_feature_nets_tpu.cli.common import RENDER_PRESETS
     from fourier_feature_nets_tpu.models import load_model
     from fourier_feature_nets_tpu.render import Raycaster, RenderServer
     from fourier_feature_nets_tpu.render.occupancy_sampler import (
@@ -26,9 +32,22 @@ def main():
     from fourier_feature_nets_tpu.render.server import serve
     from fourier_feature_nets_tpu.utils.camera_paths import orbit
 
-    model_path = sys.argv[1]
-    res = int(sys.argv[2]) if len(sys.argv) > 2 else 800
-    samples = int(sys.argv[3]) if len(sys.argv) > 3 else 48
+    parser = argparse.ArgumentParser()
+    parser.add_argument("model_path")
+    parser.add_argument("resolution", type=int, nargs="?", default=800)
+    parser.add_argument("samples", type=int, nargs="?", default=48)
+    parser.add_argument("--early-term", type=float, default=0.0)
+    parser.add_argument("--early-split", type=int, default=0)
+    parser.add_argument("--preset", choices=sorted(RENDER_PRESETS))
+    args = parser.parse_args()
+    if args.preset:
+        cfg = RENDER_PRESETS[args.preset]
+        args.samples = cfg.get("num_samples", args.samples)
+        args.early_term = cfg.get("early_term", args.early_term)
+        args.early_split = cfg.get("early_split", args.early_split)
+    model_path = args.model_path
+    res = args.resolution
+    samples = args.samples
 
     model, params = load_model(model_path)
     cameras = orbit(np.array([0.0, 1.0, 0.0]),
@@ -39,7 +58,9 @@ def main():
         model, params, cameras, samples, bounds=bounds)
     caster = Raycaster(model, compute_dtype=jnp.bfloat16)
 
-    server = RenderServer(caster, params, sampler)
+    server = RenderServer(caster, params, sampler,
+                          early_term=args.early_term,
+                          early_split=args.early_split)
     print(f"warmup (compile): {server.warmup():.1f}s")
 
     with socket.socket() as probe:
