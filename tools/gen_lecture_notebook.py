@@ -689,7 +689,10 @@ interactive viewer (drag to orbit, wheel to zoom). Concurrent
 clients share the device through a FIFO dispatcher that pipelines
 across requests. For >=96-sample quality renders, `--early-term
 1e-2` skips the model on rays whose transmittance has saturated
-(measured 1.15x; docs/RESULTS.md). A hyperparameter search with the
+(measured 1.15x; docs/RESULTS.md). `--preset fast|quality` fills the
+measured serving configurations (density-grid culling at the 48- or
+96-sample dose) for any flags you did not set explicitly. A
+hyperparameter search with the
 HyperDrive-equivalent Bayesian optimizer is one command:
 
 ```bash
@@ -720,6 +723,45 @@ from fourier_feature_nets_tpu.mesh_export import mesh_from_model
 vertices, triangles, colors = mesh_from_model(
     voxels, vox_params, resolution=64, alpha_threshold=0.5)
 print(f"{len(vertices)} vertices, {len(triangles)} triangles")
+""")
+
+md("""
+### Distillation — baking a cheaper serving model
+
+The fused render kernel sits at its matmul-sequence floor
+(docs/RESULTS.md), so the last big serving lever is *fewer/smaller
+matmuls per ray*: train a small **student** MLP directly against the
+trained teacher's field (`render/distill.py`). No dataset is needed —
+the teacher supervises every point the renderer will ever query, so a
+camera rig plus a checkpoint bakes a faster model. The loss matches
+activated color (alpha-weighted — color is unobservable in empty
+space) and rendered alpha against the true inter-sample deltas.
+`distill_model.py` is the CLI; measured quality/speed points are in
+docs/RESULTS.md (§ Distillation), and `--preset` on `serve_model.py` /
+`orbit_video.py` names the measured serving configurations.
+""")
+
+code("""
+from fourier_feature_nets_tpu.render.distill import distill
+
+student = ffn.NeRF(num_layers=2, num_channels=64,
+                   max_log_scale_pos=9.0, num_freq_pos=10,
+                   max_log_scale_view=3.0, num_freq_view=4,
+                   skips=[], include_inputs=True)
+student_params, losses = distill(
+    nerf, nerf_params, student, val_data.sampler,
+    num_steps=30 if FAST else 300, batch_rays=256,
+    decay_rate=0.1, decay_steps=300, steps_per_call=10,
+    report_interval=10 if FAST else 100)
+print(f"distill loss {losses[0]:.4f} -> {losses[-1]:.4f}")
+student_caster = ffn.Raycaster(student)
+student_frame = np.asarray(student_caster.render_frame(
+    student_params, val_data.sampler, 0, chunk_size=res * res // 4))
+fig, axes = plt.subplots(1, 2, figsize=(8, 4))
+axes[0].imshow(frame); axes[0].set_title("teacher (4x128)")
+axes[1].imshow(student_frame); axes[1].set_title("student (2x64)")
+for ax in axes: ax.axis("off")
+plt.show()
 """)
 
 md("""
