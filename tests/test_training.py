@@ -275,8 +275,15 @@ def test_crop_to_dilate_rebuilds_compiled_step(datasets, monkeypatch):
         assert train.mode == mode  # restored
         return len(calls)
 
-    assert run(ffn.Mode.Full) == 1
-    assert run(ffn.Mode.Dilate) == 2
+    try:
+        assert run(ffn.Mode.Full) == 1
+        assert run(ffn.Mode.Dilate) == 2
+    finally:
+        # the fixture is module-scoped: leaking Dilate breaks later
+        # tests (only visible under `-m slow`, where the intermediate
+        # test that happened to restore Full is deselected)
+        train.mode = ffn.Mode.Full
+        val.mode = ffn.Mode.Full
 
 
 def test_dilate_loss_differs_from_center(datasets):
@@ -291,12 +298,14 @@ def test_dilate_loss_differs_from_center(datasets):
     batches = idx.reshape(1, 64)
 
     losses = {}
-    for mode in (ffn.Mode.Center, ffn.Mode.Dilate):
-        train.mode = mode
-        loss_fn = caster._make_loss_fn(train, 64)
-        losses[mode] = float(loss_fn(params, batches,
-                                     jnp.asarray(0, jnp.int32)))
-    train.mode = ffn.Mode.Full
+    try:
+        for mode in (ffn.Mode.Center, ffn.Mode.Dilate):
+            train.mode = mode
+            loss_fn = caster._make_loss_fn(train, 64)
+            losses[mode] = float(loss_fn(params, batches,
+                                         jnp.asarray(0, jnp.int32)))
+    finally:
+        train.mode = ffn.Mode.Full
     assert losses[ffn.Mode.Center] != losses[ffn.Mode.Dilate], losses
 
 
