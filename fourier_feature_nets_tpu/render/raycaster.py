@@ -110,7 +110,8 @@ class Raycaster:
                  fused: Optional[bool] = None,
                  fused_train: Optional[bool] = None,
                  remat: bool = False,
-                 render_cache_size: int = 16):
+                 render_cache_size: int = 16,
+                 render_tile: int = 2048):
         """Constructor.
 
         Args:
@@ -143,10 +144,16 @@ class Raycaster:
                 settings needs the bound; the active sampler's
                 entries are always the most recently used and never
                 evicted mid-use.
+            render_tile: Pallas fused-render tile (rows per grid
+                step). 2048 is the VMEM ceiling for the 8x256
+                flagship; smaller (distilled) models fit larger tiles
+                — measured on a 4x128 student in docs/RESULTS.md
+                (§ Distillation).
         """
         self.model = model
         self.remat = remat
         self.compute_dtype = compute_dtype
+        self.render_tile = int(render_tile)
         self._render_fns = _LRUCache(render_cache_size)
         self._fused_weights = None
         # identity key via a STRONG reference: an id() key would go
@@ -213,7 +220,8 @@ class Raycaster:
                     flat_pos = positions.reshape(-1, 3)
                     flat_views = view_directions.reshape(-1, 3)
                     color_o = fused_nerf_apply(self.model, weights,
-                                               flat_pos, flat_views)
+                                               flat_pos, flat_views,
+                                               tile=self.render_tile)
                     color_o = color_o.reshape(*t_values.shape, 4)
                     result = _composite(color_o, t_values, include_depth)
                     return (result.color, result.alpha,
@@ -316,7 +324,8 @@ class Raycaster:
                     logits = fused_nerf_apply(
                         self.model, model_arg,
                         rays.positions.reshape(-1, 3),
-                        rays.view_directions.reshape(-1, 3))
+                        rays.view_directions.reshape(-1, 3),
+                        tile=self.render_tile)
                     result = _composite(
                         logits.reshape(*rays.t_values.shape, 4),
                         rays.t_values, True)
@@ -417,7 +426,8 @@ class Raycaster:
 
                 def apply_fn(model_arg, pos, views):
                     return fused_nerf_apply(self.model, model_arg, pos,
-                                            views)
+                                            views,
+                                            tile=self.render_tile)
             elif self.model.use_view:
                 def apply_fn(model_arg, pos, views):
                     return self.model.apply(
