@@ -476,7 +476,16 @@ def fused_nerf_apply(model, weights: FusedNeRFWeights,
     only (no VJP) — use ``model.apply`` for training. ``split`` > 1
     processes the tile as that many independent sub-chains emitted
     stage-major (ILP experiment — see tools/kernel_split_bench.py).
+
+    Dispatches on the weight layout: feature-major weights
+    (:func:`.fused_nerf_fm.prepare_fused_nerf_fm`) select the
+    transposed kernel, which removes the narrow-row DMA floor
+    (docs/RESULTS.md § Distillation).
     """
+    from .fused_nerf_fm import FusedNeRFWeightsFM, fused_nerf_apply_fm
+    if isinstance(weights, FusedNeRFWeightsFM):
+        return fused_nerf_apply_fm(model, weights, positions, views,
+                                   tile=tile, interpret=interpret)
     dtype = weights.mid_w[0].dtype if weights.mid_w else (
         weights.bottleneck_w.dtype)
     pos_double = (len(weights.first_parts) == 1)

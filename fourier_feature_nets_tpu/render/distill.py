@@ -148,9 +148,12 @@ def distill(teacher, teacher_params, student, sampler,
     student_fn = _logits_fn(student, fused_student, compute_dtype,
                             trainable=True)
     if fused_teacher and teacher.model_type == "nerf":
-        from ..ops.fused_nerf import prepare_fused_nerf
-        teacher_arg = prepare_fused_nerf(teacher, teacher_params,
-                                         dtype=jnp.bfloat16)
+        # feature-major layout: the teacher is queried at every
+        # distillation step, so the serving kernel's DMA-floor win
+        # applies here too (ops/fused_nerf_fm.py)
+        from ..ops.fused_nerf_fm import prepare_fused_nerf_fm
+        teacher_arg = prepare_fused_nerf_fm(teacher, teacher_params,
+                                            dtype=jnp.bfloat16)
     else:
         teacher_arg = teacher_params
 

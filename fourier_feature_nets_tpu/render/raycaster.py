@@ -111,7 +111,8 @@ class Raycaster:
                  fused_train: Optional[bool] = None,
                  remat: bool = False,
                  render_cache_size: int = 16,
-                 render_tile: int = 2048):
+                 render_tile: int = 2048,
+                 fused_layout: str = "fm"):
         """Constructor.
 
         Args:
@@ -149,7 +150,18 @@ class Raycaster:
                 flagship; smaller (distilled) models fit larger tiles
                 — measured on a 4x128 student in docs/RESULTS.md
                 (§ Distillation).
+            fused_layout: "fm" (default) routes fused inference
+                through the feature-major kernel
+                (ops/fused_nerf_fm.py) — samples ride the lane axis,
+                removing the row-major kernel's narrow-row DMA floor
+                (1.25x on the 8x256 flagship, 1.6x on a 4x128
+                student; docs/RESULTS.md § Feature-major). "rm"
+                keeps the original row-major kernel.
         """
+        if fused_layout not in ("fm", "rm"):
+            raise ValueError(f"fused_layout must be 'fm' or 'rm', "
+                             f"got {fused_layout!r}")
+        self.fused_layout = fused_layout
         self.model = model
         self.remat = remat
         self.compute_dtype = compute_dtype
@@ -173,12 +185,16 @@ class Raycaster:
         object (params are immutable pytrees; training produces new
         objects every step). The cache holds the source params alive
         so object identity is a sound key."""
-        from ..ops.fused_nerf import prepare_fused_nerf
+        if self.fused_layout == "fm":
+            from ..ops.fused_nerf_fm import (
+                prepare_fused_nerf_fm as prepare)
+        else:
+            from ..ops.fused_nerf import prepare_fused_nerf as prepare
         if self._fused_params_src is not params:
             dtype = (self.compute_dtype if self.compute_dtype is not None
                      else jnp.float32)
-            self._fused_weights = prepare_fused_nerf(self.model, params,
-                                                     dtype=dtype)
+            self._fused_weights = prepare(self.model, params,
+                                          dtype=dtype)
             self._fused_params_src = params
         return self._fused_weights
 

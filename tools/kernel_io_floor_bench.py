@@ -102,6 +102,37 @@ def main():
                model_run(layers, channels, fpos, fview),
                n, scan_iters)
 
+    # --- feature-major kernel (the fix this diagnosis produced):
+    # samples ride the lane axis, so the narrow-row descriptor cost
+    # disappears (3 DMA rows per tile instead of 2048) ---
+    def model_run_fm(layers, channels):
+        from fourier_feature_nets_tpu.ops.fused_nerf_fm import (
+            prepare_fused_nerf_fm,
+        )
+        model = NeRF(num_layers=layers, num_channels=channels,
+                     max_log_scale_pos=9.0, num_freq_pos=10,
+                     max_log_scale_view=3.0, num_freq_view=4,
+                     skips=[max(1, layers // 2)], include_inputs=True)
+        params = model.init(jax.random.PRNGKey(0))
+        weights = prepare_fused_nerf_fm(model, params,
+                                        dtype=jnp.bfloat16)
+
+        @jax.jit
+        def run(c):
+            def body(carry, _):
+                out = fused_nerf_apply(model, weights,
+                                       pos + carry * 0.0, views,
+                                       tile=2048)
+                return carry + jnp.sum(out) * 1e-9, None
+            c, _ = jax.lax.scan(body, c, None, length=scan_iters)
+            return c
+
+        return run
+
+    for layers, channels in ((8, 256), (4, 128), (2, 64)):
+        _timed(f"kernel-fm {layers}x{channels}",
+               model_run_fm(layers, channels), n, scan_iters)
+
     def spec(rows, w):
         return pl.BlockSpec((rows, w), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)

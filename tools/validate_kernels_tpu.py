@@ -78,6 +78,18 @@ def main() -> int:
         wbf = prepare_fused_nerf(model, params, dtype=jnp.bfloat16)
         out = fused_nerf_apply(model, wbf, pos, views, tile=2048)
         ok &= _check(f"fused_nerf bf16 [{label}]", out, ref, 0.2)
+
+        # feature-major (serving default) layout, same tolerances
+        from fourier_feature_nets_tpu.ops.fused_nerf_fm import (
+            prepare_fused_nerf_fm,
+        )
+        w32fm = prepare_fused_nerf_fm(model, params, dtype=jnp.float32)
+        out = fused_nerf_apply(model, w32fm, pos, views, tile=2048)
+        ok &= _check(f"fused_nerf_fm f32 [{label}]", out, ref, 5e-3)
+        wbffm = prepare_fused_nerf_fm(model, params,
+                                      dtype=jnp.bfloat16)
+        out = fused_nerf_apply(model, wbffm, pos, views, tile=2048)
+        ok &= _check(f"fused_nerf_fm bf16 [{label}]", out, ref, 0.2)
         print(f"  (compile+run {time.time() - t0:.1f}s)",
               file=sys.stderr)
 
