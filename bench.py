@@ -81,36 +81,48 @@ def main():
     key = jax.random.PRNGKey(0)
 
     # --- render: fused Pallas kernel (bf16), scan-amortized ---
-    weights = prepare_fused_nerf(model, params, dtype=jnp.bfloat16)
+    # production layout is feature-major (ops/fused_nerf_fm.py); the
+    # row-major kernel rides along as a regression diagnostic
+    from fourier_feature_nets_tpu.ops.fused_nerf_fm import (
+        prepare_fused_nerf_fm,
+    )
     pos, views, t = make_rays(key, render_rays)
     render_scan = 10
 
-    @jax.jit
-    def render_fused(pos, views, t, carry):
-        def body(c, _):
-            flat = fused_nerf_apply(model, weights,
-                                    pos.reshape(-1, 3) + c * 0.0,
-                                    views.reshape(-1, 3))
-            out = _composite(flat.reshape(render_rays, num_samples, 4),
-                             t, False)
-            return jnp.sum(out.color) * 1e-9, None
-        carry, _ = jax.lax.scan(body, carry,
-                                jnp.arange(render_scan, dtype=jnp.int32))
-        return carry
+    def make_render_fused(weights):
+        @jax.jit
+        def render_fused(pos, views, t, carry):
+            def body(c, _):
+                flat = fused_nerf_apply(model, weights,
+                                        pos.reshape(-1, 3) + c * 0.0,
+                                        views.reshape(-1, 3))
+                out = _composite(
+                    flat.reshape(render_rays, num_samples, 4),
+                    t, False)
+                return jnp.sum(out.color) * 1e-9, None
+            carry, _ = jax.lax.scan(
+                body, carry, jnp.arange(render_scan, dtype=jnp.int32))
+            return carry
+        return render_fused
 
-    try:
-        carry = render_fused(pos, views, t, jnp.float32(0.0))
-        float(carry)
-        start = time.perf_counter()
-        carry = render_fused(pos, views, t, carry)
-        float(carry)
-        dt = (time.perf_counter() - start) / render_scan
-        results["render_fused_bf16"] = render_rays / dt
-        print(f"render fused bf16: {dt * 1e3:.2f} ms, "
-              f"{render_rays / dt / 1e6:.3f} Mrays/s", file=sys.stderr)
-    except Exception as error:
-        print(f"render fused: failed ({str(error)[:200]})",
-              file=sys.stderr)
+    for label, prep in (("fm", prepare_fused_nerf_fm),
+                        ("rm", prepare_fused_nerf)):
+        try:
+            weights = prep(model, params, dtype=jnp.bfloat16)
+            render_fused = make_render_fused(weights)
+            carry = render_fused(pos, views, t, jnp.float32(0.0))
+            float(carry)
+            start = time.perf_counter()
+            carry = render_fused(pos, views, t, carry)
+            float(carry)
+            dt = (time.perf_counter() - start) / render_scan
+            results[f"render_fused_bf16_{label}"] = render_rays / dt
+            print(f"render fused bf16 [{label}]: {dt * 1e3:.2f} ms, "
+                  f"{render_rays / dt / 1e6:.3f} Mrays/s",
+                  file=sys.stderr)
+        except Exception as error:
+            print(f"render fused [{label}]: failed "
+                  f"({str(error)[:200]})", file=sys.stderr)
 
     # --- render: plain XLA path (bf16 body) ---
     caster_bf16 = Raycaster(model, compute_dtype=jnp.bfloat16)
@@ -260,7 +272,7 @@ def main():
             "vs_baseline": round(headline / 2.5, 4),
         }))
     else:
-        headline = results.get("render_fused_bf16",
+        headline = results.get("render_fused_bf16_fm",
                                results.get("render_xla_bf16", 0.0))
         per_chip_target = 12.8e6 / 8
         print(json.dumps({

@@ -21,6 +21,8 @@ SECTIONS = [
     ("fourier_feature_nets_tpu.ops", "Numeric core ops"),
     ("fourier_feature_nets_tpu.ops.fused_nerf",
      "Pallas fused NeRF inference kernel"),
+    ("fourier_feature_nets_tpu.ops.fused_nerf_fm",
+     "Feature-major fused NeRF kernel (serving default)"),
     ("fourier_feature_nets_tpu.ops.fused_nerf_train",
      "Pallas fused NeRF training kernel (custom VJP)"),
     ("fourier_feature_nets_tpu.ops.fused_ray_render",
