@@ -48,10 +48,12 @@ def _logits_fn(model, fused: bool, compute_dtype, trainable: bool):
     """(model_arg, positions, views) -> (N, 4) logits."""
     if fused and model.model_type == "nerf":
         if trainable:
-            from ..ops.fused_nerf_train import (
-                fused_nerf_train_apply,
-                model_statics,
-                pack_fused_nerf,
+            # feature-major train kernel (same DMA-floor win as the
+            # teacher's FM inference kernel; ops/fused_nerf_train_fm)
+            from ..ops.fused_nerf_train_fm import (
+                fused_nerf_train_apply_fm as fused_nerf_train_apply,
+                model_statics_fm as model_statics,
+                pack_fused_nerf_fm as pack_fused_nerf,
             )
             from .raycaster import _on_tpu
 

@@ -1026,15 +1026,22 @@ class Raycaster:
                 )(params)
             return self.render(params, rays, include_depth=False)
 
-        from ..ops.fused_nerf_train import (
-            fused_nerf_train_apply,
-            model_statics,
-            pack_fused_nerf,
-        )
+        if self.fused_layout == "fm":
+            from ..ops.fused_nerf_train_fm import (
+                fused_nerf_train_apply_fm as train_apply,
+                model_statics_fm as make_statics,
+                pack_fused_nerf_fm as pack,
+            )
+        else:
+            from ..ops.fused_nerf_train import (
+                fused_nerf_train_apply as train_apply,
+                model_statics as make_statics,
+                pack_fused_nerf as pack,
+            )
 
         dtype = (self.compute_dtype if self.compute_dtype is not None
                  else jnp.float32)
-        statics = model_statics(self.model, dtype)
+        statics = make_statics(self.model, dtype)
         tile = 512
         on_tpu = _on_tpu()
 
@@ -1047,9 +1054,9 @@ class Raycaster:
             positions = jnp.pad(positions, ((0, padded - num), (0, 0)))
             views = jnp.pad(views, ((0, padded - num), (0, 0)))
 
-        packed = pack_fused_nerf(self.model, params, dtype)
-        logits = fused_nerf_train_apply(statics, packed, positions,
-                                        views, tile, not on_tpu)
+        packed = pack(self.model, params, dtype)
+        logits = train_apply(statics, packed, positions,
+                             views, tile, not on_tpu)
         logits = logits[:num].reshape(num_rays, num_samples, 4)
         return _composite(logits, rays.t_values, False)
 

@@ -109,18 +109,36 @@ def main() -> int:
             out = model.apply(p, pos, views)
             return jnp.mean(jnp.square(jax.nn.sigmoid(out) - target))
 
+        from fourier_feature_nets_tpu.ops.fused_nerf_train_fm import (
+            fused_nerf_train_apply_fm,
+            model_statics_fm,
+            pack_fused_nerf_fm,
+        )
+        statics_fm = model_statics_fm(model, dtype=jnp.float32)
+
+        def loss_fused_fm(p, model=model, statics=statics_fm, pos=pos,
+                          views=views, target=target):
+            packed = pack_fused_nerf_fm(model, p, jnp.float32)
+            out = fused_nerf_train_apply_fm(statics, packed, pos,
+                                            views, 512,
+                                            not on_tpu_default())
+            return jnp.mean(jnp.square(jax.nn.sigmoid(out) - target))
+
         t0 = time.time()
-        l1, g1 = jax.jit(jax.value_and_grad(loss_fused))(params)
         l2, g2 = jax.jit(jax.value_and_grad(loss_ref))(params)
-        ok &= _check(f"fused_train loss [{label}]", l1, l2, 1e-4)
-        grad_err = max(
-            float(jnp.max(jnp.abs(a.astype(jnp.float32)
-                                  - b.astype(jnp.float32))))
-            for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)))
-        status = "OK " if grad_err < 5e-3 else "FAIL"
-        ok &= grad_err < 5e-3
-        print(f"{status} fused_train grads [{label}]: "
-              f"max err {grad_err:.2e}")
+        for train_label, loss_fn in (("fused_train", loss_fused),
+                                     ("fused_train_fm", loss_fused_fm)):
+            l1, g1 = jax.jit(jax.value_and_grad(loss_fn))(params)
+            ok &= _check(f"{train_label} loss [{label}]", l1, l2, 1e-4)
+            grad_err = max(
+                float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                      - b.astype(jnp.float32))))
+                for a, b in zip(jax.tree.leaves(g1),
+                                jax.tree.leaves(g2)))
+            status = "OK " if grad_err < 5e-3 else "FAIL"
+            ok &= grad_err < 5e-3
+            print(f"{status} {train_label} grads [{label}]: "
+                  f"max err {grad_err:.2e}")
         print(f"  (compile+run {time.time() - t0:.1f}s)",
               file=sys.stderr)
 
