@@ -150,23 +150,34 @@ def main():
         model_statics,
         pack_fused_nerf,
     )
+    from fourier_feature_nets_tpu.ops.fused_nerf_train_fm import (
+        fused_nerf_train_apply_fm,
+        model_statics_fm,
+        pack_fused_nerf_fm,
+    )
     from fourier_feature_nets_tpu.render.raycaster import _composite
 
     tpos, tviews, tt = make_rays(jax.random.fold_in(key, 1), train_rays)
     target = jnp.ones((train_rays, 3)) * 0.5
-    statics = model_statics(model, jnp.bfloat16)
+    train_kernels = {
+        "fm": (model_statics_fm(model, jnp.bfloat16),
+               pack_fused_nerf_fm, fused_nerf_train_apply_fm),
+        "rm": (model_statics(model, jnp.bfloat16),
+               pack_fused_nerf, fused_nerf_train_apply),
+    }
     scan_steps = 50
 
-    def make_train(fused_train):
+    def make_train(mode):
         @jax.jit
         def multi_step(params, opt_state, carry):
             def body(c, _):
                 params, opt_state, carry = c
 
                 def loss_fn(p):
-                    if fused_train:
-                        packed = pack_fused_nerf(model, p, jnp.bfloat16)
-                        logits = fused_nerf_train_apply(
+                    if mode in train_kernels:
+                        statics, pack, apply_fn = train_kernels[mode]
+                        packed = pack(model, p, jnp.bfloat16)
+                        logits = apply_fn(
                             statics, packed,
                             tpos.reshape(-1, 3) + carry * 0.0,
                             tviews.reshape(-1, 3), 512, False)
@@ -191,9 +202,9 @@ def main():
             return params, opt_state, carry
         return multi_step
 
-    for label, fused_train in (("xla", False), ("fused", True)):
+    for label in ("xla", "fm", "rm"):
         try:
-            step_fn = make_train(fused_train)
+            step_fn = make_train(label)
             p, o, c = step_fn(params, adam_init(params),
                               jnp.float32(0.0))
             float(c)
