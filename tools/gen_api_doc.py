@@ -25,6 +25,8 @@ SECTIONS = [
      "Feature-major fused NeRF kernel (serving default)"),
     ("fourier_feature_nets_tpu.ops.fused_nerf_train",
      "Pallas fused NeRF training kernel (custom VJP)"),
+    ("fourier_feature_nets_tpu.ops.fused_nerf_train_fm",
+     "Feature-major fused training kernel (training default)"),
     ("fourier_feature_nets_tpu.ops.fused_ray_render",
      "Fully-fused ray compositing kernel"),
     ("fourier_feature_nets_tpu.models", "Model family"),
