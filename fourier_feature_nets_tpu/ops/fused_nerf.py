@@ -484,6 +484,13 @@ def fused_nerf_apply(model, weights: FusedNeRFWeights,
     """
     from .fused_nerf_fm import FusedNeRFWeightsFM, fused_nerf_apply_fm
     if isinstance(weights, FusedNeRFWeightsFM):
+        if split != 1:
+            # the sub-chain ILP experiment is row-major-only; silently
+            # running split=1 would corrupt an A/B measurement
+            raise ValueError(
+                "split > 1 is a row-major-kernel experiment knob; "
+                "feature-major weights do not support it (pass "
+                "prepare_fused_nerf(...) weights to A/B split).")
         return fused_nerf_apply_fm(model, weights, positions, views,
                                    tile=tile, interpret=interpret)
     dtype = weights.mid_w[0].dtype if weights.mid_w else (

@@ -75,6 +75,17 @@ class TestFeatureMajorKernel:
             model, weights, pos, views, tile=128, interpret=True))
         np.testing.assert_array_equal(via_dispatch, direct)
 
+    def test_split_rejected_for_fm_weights(self, nerf, inputs):
+        """The sub-chain ILP `split` knob is row-major-only; FM
+        dispatch must refuse it rather than silently measure
+        split=1 in an A/B."""
+        model, params = nerf
+        pos, views = inputs
+        weights = prepare_fused_nerf_fm(model, params, dtype=jnp.float32)
+        with pytest.raises(ValueError, match="row-major"):
+            fused_nerf_apply(model, weights, pos, views, tile=128,
+                             interpret=True, split=2)
+
     def test_weights_are_exact_transpose(self, nerf):
         """The FM weight pytree is leaf-for-leaf the transpose of the
         row-major packing (shared flatten order — a new field only
