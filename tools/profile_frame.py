@@ -2,9 +2,17 @@
 the real TPU: probe, partition, per-chunk sampling, fused kernel.
 All timings use the chained-carry method (see bench.py header).
 
-Usage: python tools/profile_frame.py
+Usage: python -m tools.profile_frame [options]
+  --chunk-size N      rays per chunk (default 16384)
+  --model PATH        trained checkpoint (default: random-init
+                      flagship + synthetic point-cloud octree)
+  --num-samples N     samples/ray (default 32; serving preset is 48)
+  --density-grid      occupancy from the model's own density field
+                      (OccupancyGridSampler.from_model — the serving
+                      configuration) instead of the point cloud
 """
 
+import argparse
 import sys
 import time
 
@@ -23,11 +31,25 @@ def chain(fn, *args, iters=5):
 
 
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--chunk-size", type=int, default=16384)
+    parser.add_argument("--model", default=None,
+                        help="Trained checkpoint; default random-init "
+                             "flagship")
+    parser.add_argument("--num-samples", type=int, default=32)
+    parser.add_argument("--density-grid", action="store_true",
+                        help="Occupancy from the model's density "
+                             "field (the serving configuration)")
+    # legacy positional: `profile_frame.py 8192` set the chunk size
+    args, extra = parser.parse_known_args()
+    if extra and extra[0].isdigit():
+        args.chunk_size = int(extra[0])
+
     import jax
     import jax.numpy as jnp
 
     from fourier_feature_nets_tpu.cameras import Resolution
-    from fourier_feature_nets_tpu.models import flagship_nerf
+    from fourier_feature_nets_tpu.models import flagship_nerf, load_model
     from fourier_feature_nets_tpu.octree import OcTree
     from fourier_feature_nets_tpu.render.occupancy_sampler import (
         OccupancyGridSampler,
@@ -35,25 +57,35 @@ def main():
     from fourier_feature_nets_tpu.render.raycaster import Raycaster
     from fourier_feature_nets_tpu.utils.camera_paths import orbit
 
-    model = flagship_nerf()
-    params = model.init(jax.random.PRNGKey(0))
+    if args.model:
+        model, params = load_model(args.model)
+    else:
+        model = flagship_nerf()
+        params = model.init(jax.random.PRNGKey(0))
+    num_samples = args.num_samples
 
-    rng = np.random.default_rng(1)
-    cloud = np.concatenate([
-        rng.normal([0.2, 0.0, 0.0], 0.2, (20000, 3)),
-        [[-1, -1, -1], [1, 1, 1]],
-    ]).astype(np.float32)
-    tree = OcTree.build_from_samples(cloud, depth=6, min_leaf_size=2)
     cameras = orbit(np.array([0.0, 1.0, 0.0]),
                     np.array([0.0, 0.0, 1.0]), 12, 40.0,
                     Resolution(800, 800), 4.0)
     bounds = np.diag([2.0, 2.0, 2.0, 1.0]).astype(np.float32)
-    sampler = OccupancyGridSampler(tree, cameras, 32,
-                                   grid_resolution=64, num_probes=32,
-                                   bounds=bounds)
+    if args.density_grid:
+        sampler = OccupancyGridSampler.from_model(
+            model, params, cameras, num_samples, bounds=bounds,
+            grid_resolution=64, num_probes=32)
+    else:
+        rng = np.random.default_rng(1)
+        cloud = np.concatenate([
+            rng.normal([0.2, 0.0, 0.0], 0.2, (20000, 3)),
+            [[-1, -1, -1], [1, 1, 1]],
+        ]).astype(np.float32)
+        tree = OcTree.build_from_samples(cloud, depth=6,
+                                         min_leaf_size=2)
+        sampler = OccupancyGridSampler(tree, cameras, num_samples,
+                                       grid_resolution=64,
+                                       num_probes=32, bounds=bounds)
     caster = Raycaster(model, compute_dtype=jnp.bfloat16, fused=True)
 
-    chunk_size = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
+    chunk_size = args.chunk_size
     rays_per_cam = sampler.rays_per_camera
     num_chunks = -(-rays_per_cam // chunk_size)
     total = num_chunks * chunk_size
@@ -120,13 +152,15 @@ def main():
     print(f"sample 1 chunk       : {t_sample * 1e3:8.1f} ms "
           f"(x{num_chunks} = {t_sample * num_chunks * 1e3:.1f} ms)")
 
-    # 5. fused kernel on one chunk (sampling excluded: fixed t grid)
-    from fourier_feature_nets_tpu.ops.fused_nerf import (
-        fused_nerf_apply, prepare_fused_nerf)
+    # 5. fused kernel on one chunk (sampling excluded: fixed t grid);
+    # uses the caster's layout (feature-major default) so the number
+    # matches the production frame above
+    from fourier_feature_nets_tpu.ops.fused_nerf import fused_nerf_apply
     from fourier_feature_nets_tpu.render.raycaster import _composite
 
-    weights = prepare_fused_nerf(model, params, dtype=jnp.bfloat16)
-    t_vals = jnp.linspace(1.0, 4.0, 32)[None, :].repeat(chunk_size, 0)
+    weights = caster._get_fused_weights(params)
+    t_vals = jnp.linspace(1.0, 4.0, num_samples)[None, :].repeat(
+        chunk_size, 0)
     d = jax.random.normal(jax.random.PRNGKey(0), (chunk_size, 3))
     d = d / jnp.linalg.norm(d, -1, keepdims=True)
     s = jnp.zeros((chunk_size, 3))
@@ -138,7 +172,8 @@ def main():
         flat = fused_nerf_apply(model, weights,
                                 (pos + c * 0.0).reshape(-1, 3),
                                 views.reshape(-1, 3))
-        out = _composite(flat.reshape(chunk_size, 32, 4), t_vals, False)
+        out = _composite(flat.reshape(chunk_size, num_samples, 4),
+                         t_vals, False)
         return c + jnp.sum(out.color) * 1e-9
 
     t_kernel = chain(kernel_chunk)
