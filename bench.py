@@ -283,8 +283,10 @@ def main():
             "vs_baseline": round(headline / 2.5, 4),
         }))
     else:
-        headline = results.get("render_fused_bf16_fm",
-                               results.get("render_xla_bf16", 0.0))
+        headline = results.get(
+            "render_fused_bf16_fm",
+            results.get("render_fused_bf16_rm",
+                        results.get("render_xla_bf16", 0.0)))
         per_chip_target = 12.8e6 / 8
         print(json.dumps({
             "metric": "nerf_render_rays_per_sec_per_chip",

@@ -186,21 +186,32 @@ def apply_render_preset(args, parser, argv=None):
 
     Presence is decided from ``argv`` (not by comparing against
     parser defaults — explicitly passing the default value must still
-    beat the preset)."""
+    beat the preset). Tokens are canonicalized against ``parser``'s
+    option strings the same way argparse resolves them, so an
+    abbreviated flag (``--num-sam 32``) still beats the preset."""
     import sys
 
     preset = getattr(args, "preset", None)
     if not preset:
         return args
     tokens = list(sys.argv[1:] if argv is None else argv)
+    options = list(parser._option_string_actions)
 
-    def passed(name):
-        opt = "--" + name.replace("_", "-")
-        return any(tok == opt or tok.startswith(opt + "=")
-                   for tok in tokens)
+    explicit = set()
+    for tok in tokens:
+        if not tok.startswith("--"):
+            continue
+        stem = tok.split("=", 1)[0]
+        if stem in options:
+            explicit.add(stem)
+            continue
+        # argparse accepts any unambiguous prefix of a long option
+        matches = [opt for opt in options if opt.startswith(stem)]
+        if len(matches) == 1:
+            explicit.add(matches[0])
 
     for name, value in RENDER_PRESETS[preset].items():
-        if not passed(name):
+        if "--" + name.replace("_", "-") not in explicit:
             setattr(args, name, value)
     return args
 

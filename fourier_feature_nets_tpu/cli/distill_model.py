@@ -111,7 +111,13 @@ def _val_psnr(model, params, cameras, bounds, gt_rgb,
 
 
 def main(argv=None) -> None:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.decay_rate != 1.0 and args.decay_steps <= 0:
+        parser.error("--decay-rate has no effect without "
+                     "--decay-steps > 0 (the schedule is "
+                     "lr * decay_rate ** (step / decay_steps)); "
+                     "e.g. --decay-steps equal to --num-steps")
     os.makedirs(args.results_dir, exist_ok=True)
 
     teacher, teacher_params = load_model(args.teacher_path)

@@ -55,6 +55,7 @@ def _logits_fn(model, fused: bool, compute_dtype, trainable: bool):
                 model_statics_fm as model_statics,
                 pack_fused_nerf_fm as pack_fused_nerf,
             )
+            from ..ops.fused_nerf import _round_up
             from .raycaster import _on_tpu
 
             statics = model_statics(model, jnp.bfloat16)
@@ -68,7 +69,7 @@ def _logits_fn(model, fused: bool, compute_dtype, trainable: bool):
                 # not be a multiple of 512
                 packed = pack_fused_nerf(model, params, jnp.bfloat16)
                 num = positions.shape[0]
-                padded = (num + tile - 1) // tile * tile
+                padded = _round_up(num, tile)
                 if padded != num:
                     positions = jnp.pad(
                         positions, ((0, padded - num), (0, 0)))
@@ -140,6 +141,12 @@ def distill(teacher, teacher_params, student, sampler,
     """
     from .raycaster import _on_tpu
 
+    if decay_rate != 1.0 and decay_steps <= 0:
+        raise ValueError(
+            f"decay_rate={decay_rate} has no effect with "
+            "decay_steps=0 — the schedule is "
+            "lr * decay_rate ** (step / decay_steps); pass "
+            "decay_steps > 0 (e.g. num_steps) to enable decay")
     if fused_teacher is None:
         fused_teacher = teacher.model_type == "nerf" and _on_tpu()
     if fused_student is None:

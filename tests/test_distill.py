@@ -9,6 +9,7 @@ view-free voxel teachers)."""
 
 import jax
 import numpy as np
+import pytest
 
 from fourier_feature_nets_tpu.cameras import Resolution
 from fourier_feature_nets_tpu.models import NeRF, Voxels
@@ -45,6 +46,18 @@ def test_distill_loss_decreases():
                         steps_per_call=40)
     assert losses.shape == (80,)
     assert losses[-1] < 0.5 * losses[0]
+
+
+def test_distill_rejects_decay_rate_without_steps():
+    """decay_rate is silently inert with decay_steps=0 (the schedule
+    is lr * rate ** (step / steps)) — must be a loud error, not a
+    constant-LR run the user attributes to the schedule."""
+    teacher = tiny_nerf(16)
+    teacher_params = teacher.init(jax.random.PRNGKey(0))
+    sampler = RaySampler(BOUNDS, rig(), 8, stratified=True)
+    with pytest.raises(ValueError, match="decay_steps"):
+        distill(teacher, teacher_params, tiny_nerf(16), sampler,
+                num_steps=10, batch_rays=64, decay_rate=0.1)
 
 
 def test_distill_self_is_fixed_point():

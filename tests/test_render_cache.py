@@ -69,6 +69,13 @@ def test_frame_cache_bounded_and_samplers_released(cameras, bounds):
     dead = sum(ref() is None for ref in refs)
     # all but the cached tail must have been released
     assert dead >= len(refs) - 4, (dead, len(refs))
+    # ...and the cached tail must still be ALIVE: the compiled
+    # closures pin their samplers, which is what makes the
+    # ("frame", id(sampler), ...) cache key sound — a collected
+    # sampler's id() can be recycled by a new object, which would
+    # then hit a stale executable with the wrong rig geometry
+    assert all(ref() is not None for ref in refs[-4:]), \
+        [ref() for ref in refs[-4:]]
 
 
 def test_render_correct_after_eviction(cameras, bounds):

@@ -225,6 +225,23 @@ class TestCLIs:
         assert args.compute_dtype == "float32"
         assert args.early_term == 0.0       # fast keeps early-term off
 
+    def test_render_preset_respects_abbreviated_flags(self):
+        """argparse accepts unambiguous prefixes (--num-sam ==
+        --num-samples); the preset must canonicalize them the same
+        way, or it silently overwrites an explicitly-passed flag."""
+        from fourier_feature_nets_tpu.cli.orbit_video import _parse_args
+
+        args = _parse_args(["m.npz", "64", "/tmp/o", "--preset",
+                            "fast", "--num-sam", "32"])
+        assert args.num_samples == 32       # abbreviation beats preset
+
+        args = _parse_args(["m.npz", "64", "/tmp/o", "--preset",
+                            "quality", "--early-t=5e-2",
+                            "--compute-d", "float32"])
+        assert args.early_term == pytest.approx(5e-2)
+        assert args.compute_dtype == "float32"
+        assert args.num_samples == 96       # unset -> preset fills
+
     def test_sweep_log_parsing(self, tmp_path):
         from fourier_feature_nets_tpu.cli.sweep import (
             best_metric_from_log,

@@ -35,16 +35,21 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("model_path")
     parser.add_argument("resolution", type=int, nargs="?", default=800)
-    parser.add_argument("samples", type=int, nargs="?", default=48)
-    parser.add_argument("--early-term", type=float, default=0.0)
-    parser.add_argument("--early-split", type=int, default=0)
+    # sentinel defaults: explicit values must beat the preset (same
+    # precedence as ffn-serve's apply_render_preset), preset fills the
+    # rest, plain defaults otherwise
+    parser.add_argument("samples", type=int, nargs="?", default=None)
+    parser.add_argument("--early-term", type=float, default=None)
+    parser.add_argument("--early-split", type=int, default=None)
     parser.add_argument("--preset", choices=sorted(RENDER_PRESETS))
     args = parser.parse_args()
-    if args.preset:
-        cfg = RENDER_PRESETS[args.preset]
-        args.samples = cfg.get("num_samples", args.samples)
-        args.early_term = cfg.get("early_term", args.early_term)
-        args.early_split = cfg.get("early_split", args.early_split)
+    cfg = RENDER_PRESETS[args.preset] if args.preset else {}
+    if args.samples is None:
+        args.samples = cfg.get("num_samples", 48)
+    if args.early_term is None:
+        args.early_term = cfg.get("early_term", 0.0)
+    if args.early_split is None:
+        args.early_split = cfg.get("early_split", 0)
     model_path = args.model_path
     res = args.resolution
     samples = args.samples
