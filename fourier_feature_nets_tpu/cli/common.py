@@ -199,6 +199,9 @@ def apply_render_preset(args, parser, argv=None):
 
     explicit = set()
     for tok in tokens:
+        if tok == "--":
+            # argparse treats everything after a bare -- as positional
+            break
         if not tok.startswith("--"):
             continue
         stem = tok.split("=", 1)[0]

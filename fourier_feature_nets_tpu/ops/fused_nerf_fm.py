@@ -226,6 +226,16 @@ def fused_nerf_apply_fm(model, weights: FusedNeRFWeightsFM,
     both boundaries are XLA copies at full HBM bandwidth — they cost
     ~2% of what the per-row descriptor floor they remove did
     (tools/kernel_io_floor_bench.py)."""
+    expected = 3 if model.include_inputs else 2
+    if (len(weights.first_parts) != expected
+            or len(weights.hidden_parts) != 1 + expected):
+        # doubled (1-part) packs exist only row-major; a hand-built FM
+        # pack with the wrong split would silently drop encode terms
+        raise ValueError(
+            "fused_nerf_apply_fm requires non-doubled packed weights "
+            f"(prepare_fused_nerf_fm); got {len(weights.first_parts)} "
+            f"positional / {len(weights.hidden_parts) - 1} view encode "
+            f"parts, expected {expected}.")
     skips = tuple(s for s in sorted(model.skips)
                   if 0 < s < model.num_layers)
     dtype = weights.mid_w[0].dtype if weights.mid_w else (

@@ -179,3 +179,22 @@ class TestRaycasterLayouts:
         model, _ = nerf
         with pytest.raises(ValueError):
             ffn.Raycaster(model, fused_layout="columnwise")
+
+
+class TestMalformedPackGuard:
+    def test_wrong_parts_count_raises(self, nerf, inputs):
+        """A hand-built FM pack with a doubled-style parts split must
+        fail loudly — silently dropping the sin/raw encode terms is
+        the failure mode (ADVICE r4; the train path already guards
+        via _validate_packed_fm)."""
+        model, params = nerf
+        pos, views = inputs
+        weights = prepare_fused_nerf_fm(model, params)
+        bad = weights._replace(first_parts=weights.first_parts[:1])
+        with pytest.raises(ValueError, match="non-doubled"):
+            fused_nerf_apply_fm(model, bad, pos, views,
+                                interpret=True)
+        bad = weights._replace(hidden_parts=weights.hidden_parts[:2])
+        with pytest.raises(ValueError, match="non-doubled"):
+            fused_nerf_apply_fm(model, bad, pos, views,
+                                interpret=True)

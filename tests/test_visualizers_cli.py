@@ -242,6 +242,18 @@ class TestCLIs:
         assert args.compute_dtype == "float32"
         assert args.num_samples == 96       # unset -> preset fills
 
+    def test_render_preset_ignores_tokens_after_separator(self):
+        """A positional after a bare ``--`` that happens to spell an
+        option string is NOT an explicit flag — argparse treats
+        everything after ``--`` as positional, and the preset scan
+        must do the same (ADVICE r4)."""
+        from fourier_feature_nets_tpu.cli.orbit_video import _parse_args
+
+        args = _parse_args(["--preset", "quality", "--",
+                            "--num-samples", "64", "/tmp/o"])
+        assert args.model_path == "--num-samples"  # a (weird) filename
+        assert args.num_samples == 96       # preset still fills
+
     def test_sweep_log_parsing(self, tmp_path):
         from fourier_feature_nets_tpu.cli.sweep import (
             best_metric_from_log,

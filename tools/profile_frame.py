@@ -44,6 +44,11 @@ def main():
     args, extra = parser.parse_known_args()
     if extra and extra[0].isdigit():
         args.chunk_size = int(extra[0])
+        extra = extra[1:]
+    if extra:
+        # anything else left over is a misspelled flag — error instead
+        # of silently profiling the wrong configuration
+        parser.error(f"unrecognized arguments: {' '.join(extra)}")
 
     import jax
     import jax.numpy as jnp
