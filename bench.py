@@ -274,14 +274,66 @@ def main():
         print(f"orbit frame: failed ({str(error)[:200]})",
               file=sys.stderr)
 
+    # --- second tracked metric: the SERVING operating point ---
+    # `--preset fast` on a distilled student (the README serving
+    # headline path): student-sized FM kernel, 48 samples/ray,
+    # occupancy culling. Weights are random-init (frame TIME is
+    # weight-independent given the same occupancy geometry), so this
+    # regress-detects the serving frame path; quality numbers live in
+    # docs/RESULTS.md. Keep the config in sync with the shipped
+    # recommendation (cli/common.py RENDER_PRESETS + RESULTS
+    # § Stacked serving preset).
+    try:
+        from fourier_feature_nets_tpu.cli.common import RENDER_PRESETS
+        from fourier_feature_nets_tpu.models import NeRF
+
+        preset = RENDER_PRESETS["fast"]
+        student = NeRF(num_layers=6, num_channels=192,
+                       max_log_scale_pos=9.0, num_freq_pos=10,
+                       max_log_scale_view=3.0, num_freq_view=4,
+                       skips=[3], include_inputs=True)
+        student_params = student.init(jax.random.PRNGKey(0))
+        s_sampler = OccupancyGridSampler(
+            tree, cameras, preset["num_samples"], grid_resolution=64,
+            num_probes=32, bounds=bounds)
+        s_caster = Raycaster(student, compute_dtype=jnp.bfloat16,
+                             fused=True)
+        kwargs = dict(early_term=preset.get("early_term", 0.0),
+                      early_split=preset.get("early_split", 0))
+        np.asarray(s_caster.render_frame_async(student_params,
+                                               s_sampler, 0, **kwargs))
+        best_dt = float("inf")
+        for _ in range(3):
+            start = time.perf_counter()
+            pending = None
+            for frame in range(num_frames):
+                buffer = s_caster.render_frame_async(
+                    student_params, s_sampler, frame + 1, **kwargs)
+                if pending is not None:
+                    np.asarray(pending)
+                pending = buffer
+            np.asarray(pending)
+            best_dt = min(best_dt,
+                          (time.perf_counter() - start) / num_frames)
+        results["student_frame_fps"] = 1.0 / best_dt
+        print(f"student preset-fast 800px frame: {best_dt * 1e3:.1f} ms"
+              f" ({1.0 / best_dt:.2f} FPS/chip)", file=sys.stderr)
+    except Exception as error:
+        print(f"student frame: failed ({str(error)[:200]})",
+              file=sys.stderr)
+
     if "orbit_frame_fps" in results:
         headline = results["orbit_frame_fps"]
-        print(json.dumps({
+        record = {
             "metric": "orbit_frame_800px_fps_per_chip",
             "value": round(headline, 3),
             "unit": "frames/s",
             "vs_baseline": round(headline / 2.5, 4),
-        }))
+        }
+        if "student_frame_fps" in results:
+            record["student_preset_fast_fps_per_chip"] = round(
+                results["student_frame_fps"], 3)
+        print(json.dumps(record))
     else:
         headline = results.get(
             "render_fused_bf16_fm",

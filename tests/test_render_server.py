@@ -266,3 +266,29 @@ def test_stats_concurrent_with_rendering(server_url):
         done.set()
         poller.join(timeout=30)
     assert not errors, errors
+
+
+def test_serve_bench_multiclient_helpers(server_url):
+    """tools/serve_bench's concurrent-client measurement parses the
+    MJPEG stream correctly: every client sees its full frame count
+    and the aggregate covers all of them (the --clients backing for
+    the multi-client scheduling claim)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.serve_bench import _measure_clients, _stream_frames
+
+    url, render_server = server_url
+    arrivals = []
+    _stream_frames(url, 0, 4, arrivals)
+    assert len(arrivals) == 4
+
+    fps, per_client, total = _measure_clients(url, 3,
+                                              render_server.num_cameras,
+                                              5)
+    assert total == 15
+    assert fps > 0
+    assert len(per_client) == 3
+    for p50, p90 in per_client:
+        assert np.isfinite(p50) and np.isfinite(p90)
+        assert p90 >= p50 > 0

@@ -40,6 +40,11 @@ def main():
     parser.add_argument("--density-grid", action="store_true",
                         help="Occupancy from the model's density "
                              "field (the serving configuration)")
+    parser.add_argument("--pose", action="store_true",
+                        help="Budget the FREE-POSE frame path "
+                             "(render_frame_pose) component by "
+                             "component next to the rig path — the "
+                             "POST /pose serving gap diagnosis")
     # legacy positional: `profile_frame.py 8192` set the chunk size
     args, extra = parser.parse_known_args()
     if extra and extra[0].isdigit():
@@ -185,6 +190,141 @@ def main():
     hit_chunks = int(np.ceil(hits / chunk_size))
     print(f"fused kernel 1 chunk : {t_kernel * 1e3:8.1f} ms "
           f"(x{hit_chunks} hit-chunks = {t_kernel * hit_chunks * 1e3:.1f} ms)")
+
+    if args.pose:
+        _pose_budget(caster, params, sampler, cameras, chunk_size,
+                     idx_all, chain)
+
+
+def _pose_budget(caster, params, sampler, cameras, chunk_size,
+                 idx_all, chain):
+    """Free-pose (render_frame_pose) budget next to the rig path at
+    identical settings — the POST /pose gap diagnosis (VERDICT r4).
+
+    The pose executable's device graph is structurally identical to
+    the rig one (pose_ray_geometry == camera_ray_geometry minus the
+    two dynamic_index_in_dim calibration reads; the occupancy CDF is
+    probed from the same raster either way) — so any steady gap must
+    be either compile-level or protocol-level (synchronous round
+    trips vs pipelined streaming)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from fourier_feature_nets_tpu.render.ray_sampler import RaySampler
+    from fourier_feature_nets_tpu.utils.camera_paths import (
+        look_at_extrinsics,
+    )
+
+    total = idx_all.shape[0]
+    rng = np.random.default_rng(7)
+
+    def novel_camera():
+        azimuth = rng.uniform(0, 2 * np.pi)
+        altitude = rng.uniform(0.1, 0.9)
+        position = 4.0 * np.array([
+            np.sin(azimuth) * np.cos(altitude), np.sin(altitude),
+            np.cos(azimuth) * np.cos(altitude)])
+        extrinsics = look_at_extrinsics(position, [0.0, 1.0, 0.0])
+        rig = cameras[0]
+        return rig._replace(extrinsics=extrinsics.astype(np.float32))
+
+    print("--- free-pose path (vs rig, same settings) ---")
+
+    # host-side calibration prep (3x3 inverse + pack)
+    cam = novel_camera()
+    start = time.perf_counter()
+    for _ in range(20):
+        calibration = RaySampler.pose_calibration(cam)
+    t_cal = (time.perf_counter() - start) / 20
+    print(f"pose_calibration host: {t_cal * 1e3:8.2f} ms")
+
+    # warm both executables
+    np.asarray(caster.render_frame(params, sampler, 0,
+                                   chunk_size=chunk_size))
+    np.asarray(caster.render_frame_pose(params, sampler, novel_camera(),
+                                        chunk_size=chunk_size))
+
+    # synchronous round trips (the serve_bench POST /pose protocol):
+    # dispatch + device compute + full (H,W,3) fetch per frame
+    def sync_times(render_one, n=8):
+        times = []
+        for _ in range(n):
+            start = time.perf_counter()
+            render_one()
+            times.append((time.perf_counter() - start) * 1e3)
+        return np.asarray(times)
+
+    rig_sync = sync_times(
+        lambda: np.asarray(caster.render_frame(
+            params, sampler, int(rng.integers(len(cameras))),
+            chunk_size=chunk_size)))
+    pose_sync = sync_times(
+        lambda: np.asarray(caster.render_frame_pose(
+            params, sampler, novel_camera(), chunk_size=chunk_size)))
+    print(f"rig frame SYNC       : p50 {np.percentile(rig_sync, 50):7.1f} ms")
+    print(f"pose frame SYNC      : p50 {np.percentile(pose_sync, 50):7.1f} ms")
+
+    # pipelined (the MJPEG-stream protocol): dispatch f+1 before
+    # fetching f — fetch rides under the next frame's compute
+    def pipelined(dispatch_one, n=10):
+        start = time.perf_counter()
+        pending = None
+        for _ in range(n):
+            buffer = dispatch_one()
+            if pending is not None:
+                np.asarray(pending)
+            pending = buffer
+        np.asarray(pending)
+        return (time.perf_counter() - start) / n * 1e3
+
+    rig_pipe = min(pipelined(
+        lambda: caster.render_frame_async(
+            params, sampler, int(rng.integers(len(cameras))),
+            chunk_size=chunk_size)) for _ in range(3))
+    pose_pipe = min(pipelined(
+        lambda: caster.render_frame_pose_async(
+            params, sampler, novel_camera(), chunk_size=chunk_size))
+        for _ in range(3))
+    print(f"rig frame PIPELINED  : {rig_pipe:7.1f} ms/frame "
+          f"({1e3 / rig_pipe:.2f} FPS)")
+    print(f"pose frame PIPELINED : {pose_pipe:7.1f} ms/frame "
+          f"({1e3 / pose_pipe:.2f} FPS)")
+
+    # device-side pose components (chained): geometry, geometry+probe,
+    # one-chunk sampling — the pose analogs of the rig rows above
+    m, p = RaySampler.pose_calibration(novel_camera())
+
+    @jax.jit
+    def pose_geom(c):
+        starts, d, near, far, valid = sampler.pose_ray_geometry(
+            m, p, idx_all + (c * 0).astype(jnp.int32))
+        return c + jnp.sum(d[:, 0]) * 1e-9 + jnp.sum(near) * 1e-12
+
+    print(f"pose geometry all    : {chain(pose_geom) * 1e3:8.1f} ms")
+
+    @jax.jit
+    def pose_probe(c):
+        starts, d, near, far, valid = sampler.pose_ray_geometry(
+            m, p, idx_all + (c * 0).astype(jnp.int32))
+        _, cdf, hit = sampler._probe_cdf_geometry(starts, d, near, far)
+        return c + jnp.sum(cdf[:, -1]) * 1e-9
+
+    print(f"pose geom + probe    : {chain(pose_probe) * 1e3:8.1f} ms")
+
+    idx_chunk = idx_all[:chunk_size]
+
+    @jax.jit
+    def pose_sample_chunk(c):
+        rays, _ = sampler.sample_pose_rays(
+            m, p, idx_chunk + (c * 0).astype(jnp.int32))
+        return c + jnp.sum(rays.t_values) * 1e-9
+
+    t_ps = chain(pose_sample_chunk)
+    num_chunks = total // chunk_size
+    print(f"pose sample 1 chunk  : {t_ps * 1e3:8.1f} ms "
+          f"(x{num_chunks} = {t_ps * num_chunks * 1e3:.1f} ms)")
 
 
 if __name__ == "__main__":

@@ -169,6 +169,60 @@ def main() -> int:
         ok &= _check(f"fused_ray_render S={num_samples} alpha",
                      out[:, 3], ref.alpha, 5e-3)
 
+    # --- fused kernels UNDER A DEVICE MESH on hardware (VERDICT r4
+    # item 6: the dryrun pins fused=False and test_parallel covers the
+    # composition in interpret mode only — this certifies the
+    # shard_map + Pallas composition on the real chip) ---
+    t0 = time.time()
+    from fourier_feature_nets_tpu.datasets import ImageDataset
+    from fourier_feature_nets_tpu.datasets.synthetic import (
+        load_or_generate,
+    )
+    from fourier_feature_nets_tpu.parallel import (
+        make_mesh,
+        make_shard_map_train_step,
+        replicate,
+    )
+    from fourier_feature_nets_tpu.utils import adam_init
+
+    path = load_or_generate("/tmp/ffn_validate_scene.npz",
+                            resolution=24)
+    scene = ImageDataset.load(path, "train", num_samples=16)
+    mesh = make_mesh()  # every local device (1 on a single real chip)
+    print(f"mesh: {mesh.devices.shape} over {mesh.axis_names}",
+          file=sys.stderr)
+    model = NeRF(num_layers=2, num_channels=32, max_log_scale_pos=3.0,
+                 num_freq_pos=4, max_log_scale_view=1.0,
+                 num_freq_view=2, skips=[1], include_inputs=True)
+    params = model.init(jax.random.PRNGKey(0))
+    idx = jnp.asarray(scene.index_pool()[:128].astype(np.int32))
+    mesh_losses = {}
+    for fused_flag in (True, False):
+        caster = Raycaster(model, fused_train=fused_flag)
+        dp_step = make_shard_map_train_step(
+            caster, scene, 128, 5e-4, 0.1, 250000, 0.0, mesh,
+            fused=fused_flag, steps_per_call=3)
+        p = replicate(jax.tree.map(jnp.copy, params), mesh)
+        o = replicate(adam_init(params), mesh)
+        p, o, loss = dp_step(p, o, idx, jnp.asarray(0, jnp.int32),
+                             jnp.asarray(0, jnp.int32),
+                             jax.random.PRNGKey(0))
+        mesh_losses[fused_flag] = float(loss)
+    ok &= _check("shard_map fused train step (mesh) loss",
+                 mesh_losses[True], mesh_losses[False], 1e-3)
+
+    # FM fused render_frame under shard_map vs single-device
+    caster = Raycaster(model, fused=True)
+    frame_mesh = caster.render_frame(params, scene.sampler, 0,
+                                     chunk_size=2048, mesh=mesh)
+    frame_one = caster.render_frame(params, scene.sampler, 0,
+                                    chunk_size=2048)
+    ok &= _check("render_frame fused under mesh (uint8)",
+                 frame_mesh.astype(np.float32),
+                 frame_one.astype(np.float32), 1.0)
+    print(f"  (fused-under-mesh compile+run {time.time() - t0:.1f}s)",
+          file=sys.stderr)
+
     print("ALL OK" if ok else "FAILURES — see above")
     return 0 if ok else 1
 
