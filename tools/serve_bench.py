@@ -34,9 +34,13 @@ def _stream_frames(url: str, start: int, count: int, out: list):
         f"{url}/stream.mjpeg?start={start}&count={count}", timeout=600)
     buffer = b""
     seen = 0
+    # read1 returns as soon as ANY bytes arrive; plain read(n) blocks
+    # until n bytes accumulate, which would timestamp several small
+    # frames in one burst (cadence artifact at low resolutions)
+    read_some = getattr(request, "read1", None) or request.read
     try:
         while seen < count:
-            chunk = request.read(65536)
+            chunk = read_some(65536)
             if not chunk:
                 break
             buffer += chunk

@@ -30,6 +30,9 @@ def main():
     parser.add_argument("--scan-steps", type=int, default=50)
     parser.add_argument("--peak-tflops", type=float, default=197.0,
                         help="bf16 peak of the chip (v5e: 197)")
+    parser.add_argument("--interpret", action="store_true",
+                        help="Pallas interpret mode (CPU smoke test; "
+                        "timings are meaningless)")
     args = parser.parse_args()
 
     import jax
@@ -48,7 +51,9 @@ def main():
     params = model.init(jax.random.PRNGKey(0))
     rays, samples = args.rays, args.samples
     scan_steps = args.scan_steps
-    statics = model_statics_fm(model, jnp.bfloat16)
+    # interpret mode runs on CPU XLA, which has no bf16 dot
+    kdtype = jnp.float32 if args.interpret else jnp.bfloat16
+    statics = model_statics_fm(model, kdtype)
 
     key = jax.random.PRNGKey(1)
     k1, k2 = jax.random.split(key)
@@ -92,9 +97,10 @@ def main():
         p, opt, c = carry
 
         def loss_fn(p):
-            packed = pack_fused_nerf_fm(model, p, jnp.bfloat16)
+            packed = pack_fused_nerf_fm(model, p, kdtype)
             logits = fused_nerf_train_apply_fm(
-                statics, packed, fpos + c * 0.0, fviews, 512, False)
+                statics, packed, fpos + c * 0.0, fviews, 512,
+                args.interpret)
             out = _composite(logits.reshape(rays, samples, 4), t,
                              False)
             return jnp.mean(jnp.square(out.color - target))
@@ -130,9 +136,10 @@ def main():
         # carry-dependent params so XLA cannot hoist the pack out of
         # the scan (it is loop-invariant otherwise)
         p = jax.tree_util.tree_map(lambda a: a + carry * 0.0, params)
-        packed = pack_fused_nerf_fm(model, p, jnp.bfloat16)
+        packed = pack_fused_nerf_fm(model, p, kdtype)
         logits = fused_nerf_train_apply_fm(
-            statics, packed, fpos + carry * 0.0, fviews, 512, False)
+            statics, packed, fpos + carry * 0.0, fviews, 512,
+            args.interpret)
         out = _composite(logits.reshape(rays, samples, 4), t, False)
         return jnp.mean(jnp.square(out.color - target))
 
@@ -142,10 +149,10 @@ def main():
     # --- fwd+bwd without the optimizer ---
     def fwd_bwd(carry):
         def loss_fn(p):
-            packed = pack_fused_nerf_fm(model, p, jnp.bfloat16)
+            packed = pack_fused_nerf_fm(model, p, kdtype)
             logits = fused_nerf_train_apply_fm(
                 statics, packed, fpos + carry * 0.0, fviews, 512,
-                False)
+                args.interpret)
             out = _composite(logits.reshape(rays, samples, 4), t,
                              False)
             return jnp.mean(jnp.square(out.color - target))
@@ -186,7 +193,7 @@ def main():
     # --- pack alone (transpose/cast of the param pytree) ---
     def pack_only(carry):
         p = jax.tree_util.tree_map(lambda a: a + carry * 0.0, params)
-        packed = pack_fused_nerf_fm(model, p, jnp.bfloat16)
+        packed = pack_fused_nerf_fm(model, p, kdtype)
         return carry + sum(
             jnp.sum(w.astype(jnp.float32)) * 1e-12
             for w in jax.tree_util.tree_leaves(packed))
@@ -232,7 +239,7 @@ def main():
               file=sys.stderr)
 
     # --- roofline ---
-    packed = pack_fused_nerf_fm(model, params, jnp.bfloat16)
+    packed = pack_fused_nerf_fm(model, params, kdtype)
     weight_elems = sum(
         w.size for w in jax.tree_util.tree_leaves(packed)
         if w.ndim == 2 and w.shape[1] > 1)  # matrices, not biases
