@@ -14,7 +14,9 @@ and pipelines across clients — see :class:`RenderServer`):
 
 - ``GET /``                           — interactive browser viewer:
   drag to orbit / wheel to zoom, driving ``POST /pose`` requests
-  (free camera), with a one-click switch to the MJPEG orbit stream
+  (free camera, up to 2 in flight so the dispatcher pipelines
+  compute against the device->host fetch), with a one-click switch
+  to the MJPEG orbit stream
 - ``GET /info``                       — JSON rig/model description
 - ``GET /frame?camera=i&format=png``  — one frame (png/jpg/raw u8)
 - ``POST /pose``                      — one frame from an ARBITRARY
@@ -279,7 +281,12 @@ button { background: #222; color: #ccc; border: 1px solid #555;
 const view = document.getElementById('view');
 const status_el = document.getElementById('status');
 let az = 0.6, alt = 0.45, dist = 4.0, streaming = false;
-let inflight = false, dirty = true;
+// Up to 2 pose requests in flight: the server's dispatcher thread
+// pipelines across queued requests (frame k+1 computes while frame
+// k's device->host fetch runs), so a serial await leaves the
+// accelerator idle during every fetch. Sequence-guarded so a
+// stale response never replaces a newer frame.
+let inflight = 0, dirty = true, seq = 0, shown = 0;
 
 function pose() {
   const ca = Math.cos(az), sa = Math.sin(az);
@@ -304,25 +311,29 @@ function pose() {
 }
 
 async function refresh() {
-  if (inflight || streaming) { return; }
-  inflight = true; dirty = false;
+  if (inflight >= 2 || streaming) { return; }
+  inflight += 1; dirty = false;
+  const my = ++seq;
   const t0 = performance.now();
   try {
     const resp = await fetch('/pose', {method: 'POST',
       body: JSON.stringify({extrinsics: pose(), format: 'jpg'})});
     if (!resp.ok) {
       status_el.textContent = 'server error: ' + await resp.text();
-      inflight = false; return;
+      inflight -= 1; return;
     }
     const blob = await resp.blob();
-    const url = URL.createObjectURL(blob);
-    const old = view.src;
-    view.src = url;
-    if (old.startsWith('blob:')) { URL.revokeObjectURL(old); }
-    status_el.textContent = `pose ${(performance.now() - t0).toFixed(0)} ms` +
-      `  az ${az.toFixed(2)} alt ${alt.toFixed(2)} dist ${dist.toFixed(2)}`;
+    if (my > shown) {  // never let a stale frame overwrite a newer one
+      shown = my;
+      const url = URL.createObjectURL(blob);
+      const old = view.src;
+      view.src = url;
+      if (old.startsWith('blob:')) { URL.revokeObjectURL(old); }
+      status_el.textContent = `pose ${(performance.now() - t0).toFixed(0)} ms` +
+        `  az ${az.toFixed(2)} alt ${alt.toFixed(2)} dist ${dist.toFixed(2)}`;
+    }
   } catch (e) { status_el.textContent = 'error: ' + e; }
-  inflight = false;
+  inflight -= 1;
   if (dirty) { refresh(); }
 }
 
