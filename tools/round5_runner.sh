@@ -1,0 +1,116 @@
+#!/bin/bash
+# Unattended round-5 TPU measurement pipeline (VERDICT r4 items 1,3,4,5,6).
+#
+# The axon tunnel has multi-minute outages (CLAUDE.md) and builder
+# sessions die mid-run, so every stage here is (a) gated on an
+# artifact/marker so a relaunch skips finished work, (b) preceded by a
+# bounded tunnel-health probe, and (c) retried through outages. Launch
+# detached from any session:
+#
+#   setsid bash tools/round5_runner.sh > /tmp/r5/runner.log 2>&1 &
+#
+# Stages (logs in /tmp/r5/):
+#   teacher      train the 8x256 flagship (round-3 recipe, seed 7)
+#   distill_7x128, distill_8x128   the MXU-aligned sweep candidates
+#   eval_7x128, eval_8x128         whole-frame quality + frame time
+#   serve_7x128, serve_8x128       HTTP serving + multi-client + pose
+#   pose_budget  free-pose component budget (VERDICT item 3)
+#   train_budget train-step phase split + MFU (VERDICT item 5)
+#   kernels      fused-under-mesh on the real chip (VERDICT item 6)
+
+set -u
+cd /root/repo
+R5=/tmp/r5
+mkdir -p "$R5"
+SCENE=/root/.cache/fourier_feature_nets_tpu/synthetic_800.npz
+TEACHER=results/teacher_r5/nerf_best.npz
+
+log() { echo "[$(date +%H:%M:%S)] $*"; }
+
+probe_tunnel() {
+    # small-kernel compile probe; hangs (and is killed) during outages
+    timeout 300 python -u tools/tpu_compile_probe.py 4 128 \
+        > "$R5/probe.log" 2>&1
+}
+
+wait_tunnel() {
+    local n=0
+    until probe_tunnel; do
+        n=$((n + 1))
+        log "tunnel down (probe attempt $n); sleeping 180s"
+        sleep 180
+    done
+    log "tunnel OK"
+}
+
+# run_stage <name> <timeout_s> <artifact-or-marker> <cmd...>
+# Skips if the artifact exists; otherwise probes the tunnel, runs the
+# command (log: $R5/<name>.log), touches the marker on success.
+# Retries up to 4 times across outages.
+run_stage() {
+    local name=$1 tmo=$2 artifact=$3
+    shift 3
+    if [ -e "$artifact" ]; then
+        log "stage $name: already done ($artifact)"
+        return 0
+    fi
+    local attempt
+    for attempt in 1 2 3 4; do
+        wait_tunnel
+        log "stage $name: attempt $attempt (timeout ${tmo}s): $*"
+        if timeout "$tmo" "$@" > "$R5/$name.log" 2>&1; then
+            [ -e "$artifact" ] || touch "$artifact"
+            log "stage $name: OK"
+            return 0
+        fi
+        log "stage $name: FAILED (exit $?); tail of log:"
+        tail -3 "$R5/$name.log" || true
+        sleep 60
+    done
+    log "stage $name: giving up after 4 attempts"
+    return 1
+}
+
+log "=== round-5 runner start ==="
+
+run_stage teacher 3000 "$TEACHER" \
+    python -u train_nerf.py synthetic:800 results/teacher_r5 \
+    --occupancy-interval 1000 --occupancy-samples 96 --seed 7 \
+    --steps-per-call 100
+
+for shape in 7x128 8x128; do
+    layers=${shape%x*}
+    chans=${shape#*x}
+    run_stage "distill_$shape" 2400 "results/student_${shape}_r5/student.npz" \
+        python -u distill_model.py "$TEACHER" "results/student_${shape}_r5" \
+        --student-layers "$layers" --student-channels "$chans" \
+        --num-steps 50000 --decay-rate 0.1 --decay-steps 50000
+done
+
+for shape in 7x128 8x128; do
+    run_stage "eval_$shape" 1800 "$R5/eval_$shape.ok" \
+        python -u -m tools.distill_eval "$TEACHER" \
+        "results/student_${shape}_r5/student.npz" "$SCENE" 48
+done
+
+for shape in 7x128 8x128; do
+    run_stage "serve_$shape" 2400 "$R5/serve_$shape.ok" \
+        python -u -m tools.serve_bench "results/student_${shape}_r5/student.npz" \
+        --preset fast --clients 1 2 4
+done
+
+run_stage pose_budget 1800 "$R5/pose_budget.ok" \
+    python -u -m tools.profile_frame --pose --density-grid \
+    --num-samples 48 --model results/student_7x128_r5/student.npz
+
+run_stage train_budget 1800 "$R5/train_budget.ok" \
+    python -u -m tools.train_budget
+
+run_stage kernels 2400 "$R5/kernels.ok" \
+    python -u -m tools.validate_kernels_tpu
+
+log "=== round-5 runner done ==="
+for f in "$R5"/*.log; do
+    log "--- $f (last 5) ---"
+    tail -5 "$f" || true
+done
