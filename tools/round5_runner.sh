@@ -28,8 +28,11 @@ TEACHER=results/teacher_r5/nerf_best.npz
 log() { echo "[$(date +%H:%M:%S)] $*"; }
 
 probe_tunnel() {
-    # small-kernel compile probe; hangs (and is killed) during outages
-    timeout 300 python -u tools/tpu_compile_probe.py 4 128 \
+    # small-kernel compile probe; hangs (and is killed) during
+    # outages. 600s: the tunnel's first dispatch in a fresh process
+    # can stall >2 min even when healthy (measured 134s on
+    # 2026-08-20), and the Mosaic compile adds 20-60s on top.
+    timeout 600 python -u tools/tpu_compile_probe.py 4 128 \
         > "$R5/probe.log" 2>&1
 }
 
