@@ -76,15 +76,19 @@ run_stage() {
 
 log "=== round-5 runner start ==="
 
-run_stage teacher 3000 "$TEACHER" \
+# 7200s + checkpoint/resume: the clean-tunnel schedule is ~4.3 min,
+# but sustained congestion episodes run 13-19x slower (measured
+# 70-96 ms/step on 2026-08-20); a timed-out attempt resumes from the
+# newest async checkpoint instead of restarting
+run_stage teacher 7200 "$TEACHER" \
     python -u train_nerf.py synthetic:800 results/teacher_r5 \
     --occupancy-interval 1000 --occupancy-samples 96 --seed 7 \
-    --steps-per-call 100
+    --steps-per-call 100 --checkpoint-interval 2000 --resume
 
 for shape in 7x128 8x128; do
     layers=${shape%x*}
     chans=${shape#*x}
-    run_stage "distill_$shape" 2400 "results/student_${shape}_r5/student.npz" \
+    run_stage "distill_$shape" 7200 "results/student_${shape}_r5/student.npz" \
         python -u distill_model.py "$TEACHER" "results/student_${shape}_r5" \
         --student-layers "$layers" --student-channels "$chans" \
         --num-steps 50000 --decay-rate 0.1 --decay-steps 50000
