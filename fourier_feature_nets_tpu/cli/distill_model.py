@@ -81,6 +81,14 @@ def build_parser() -> ArgumentParser:
                              "cameras (the distillation ceiling)")
     parser.add_argument("--fused", action="store_true", default=None)
     parser.add_argument("--no-fused", dest="fused", action="store_false")
+    parser.add_argument("--checkpoint-interval", type=int, default=0,
+                        help="Steps between resumable train-state "
+                             "checkpoints (async, to "
+                             "<results_dir>/checkpoints); 0 disables")
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume from the newest checkpoint in "
+                             "<results_dir>/checkpoints (exact: "
+                             "absolute-step RNG + restored Adam state)")
     return parser
 
 
@@ -213,7 +221,12 @@ def main(argv=None) -> None:
         fused_teacher=args.fused,
         fused_student=args.fused,
         report_interval=args.report_interval,
-        reporter=reporter)
+        reporter=reporter,
+        checkpoint_dir=(os.path.join(args.results_dir, "checkpoints")
+                        if args.checkpoint_interval or args.resume
+                        else None),
+        checkpoint_interval=args.checkpoint_interval or None,
+        resume=args.resume)
     bar.finish()
 
     out_path = os.path.join(args.results_dir, "student.npz")

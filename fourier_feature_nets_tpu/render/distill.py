@@ -111,7 +111,10 @@ def distill(teacher, teacher_params, student, sampler,
             fused_student: Optional[bool] = None,
             compute_dtype=None,
             report_interval: int = 1000,
-            reporter=None):
+            reporter=None,
+            checkpoint_dir: Optional[str] = None,
+            checkpoint_interval: Optional[int] = None,
+            resume: bool = False):
     """Trains ``student`` to match ``teacher``'s radiance field.
 
     Args:
@@ -134,10 +137,21 @@ def distill(teacher, teacher_params, student, sampler,
             (default: auto — NeRF models on TPU).
         reporter: optional ``f(step, loss)`` called every
             ``report_interval`` steps.
+        checkpoint_dir / checkpoint_interval: when both set, a
+            resumable TrainState checkpoint is written (asynchronously,
+            utils.checkpoint.AsyncCheckpointer) every
+            ``checkpoint_interval`` steps — the same elastic-recovery
+            contract as :meth:`Raycaster.fit`.
+        resume: restore the newest checkpoint in ``checkpoint_dir``
+            before distilling. The per-step RNG is keyed by ABSOLUTE
+            step (``fold_in(root_key, step)``) and Adam state is
+            restored exactly, so an interrupted-and-resumed run
+            reproduces the uninterrupted one.
 
     Returns:
-        (student_params, losses): trained parameters and the (num_steps,)
-        per-step loss history (host numpy).
+        (student_params, losses): trained parameters and the per-step
+        loss history (host numpy; covers only the steps THIS call
+        executed — ``num_steps`` from scratch, fewer after a resume).
     """
     from .raycaster import _on_tpu
 
@@ -243,16 +257,46 @@ def distill(teacher, teacher_params, student, sampler,
         return params, opt_state, losses
 
     opt_state = adam_init(student_params)
+    start_step = 0
+    if resume and checkpoint_dir:
+        from ..utils.checkpoint import latest_checkpoint, load_train_state
+        ckpt = latest_checkpoint(checkpoint_dir)
+        if ckpt:
+            state = load_train_state(ckpt)
+            student_params, opt_state = state.params, state.opt_state
+            start_step = state.step  # stored as completed-step COUNT
+            print(f"Resumed distillation from {ckpt} "
+                  f"at step {start_step}")
+
+    checkpointer = None
+    if checkpoint_dir and checkpoint_interval:
+        from ..utils.checkpoint import AsyncCheckpointer
+        checkpointer = AsyncCheckpointer(checkpoint_dir)
+
     losses = []
-    step = 0
-    while step < num_steps:
-        student_params, opt_state, chunk = multi_step(
-            student_params, opt_state, data, teacher_arg,
-            jnp.asarray(step, jnp.int32))
-        chunk = np.asarray(chunk)
-        losses.append(chunk)
-        step += steps_per_call
-        if reporter is not None and (step % report_interval == 0
-                                     or step >= num_steps):
-            reporter(step, float(chunk[-1]))
-    return student_params, np.concatenate(losses)[:num_steps]
+    step = start_step
+    try:
+        while step < num_steps:
+            student_params, opt_state, chunk = multi_step(
+                student_params, opt_state, data, teacher_arg,
+                jnp.asarray(step, jnp.int32))
+            chunk = np.asarray(chunk)
+            losses.append(chunk)
+            prev = step
+            step += steps_per_call
+            if checkpointer is not None and (
+                    step // checkpoint_interval
+                    > prev // checkpoint_interval
+                    or step >= num_steps):
+                checkpointer.save(student, student_params, opt_state,
+                                  step, seed)
+            if reporter is not None and (step % report_interval == 0
+                                         or step >= num_steps):
+                reporter(step, float(chunk[-1]))
+    finally:
+        if checkpointer is not None:
+            checkpointer.close()
+    if not losses:  # resumed at/past num_steps: nothing left to run
+        return student_params, np.zeros(0, np.float32)
+    return (student_params,
+            np.concatenate(losses)[:num_steps - start_step])

@@ -74,6 +74,37 @@ def test_distill_self_is_fixed_point():
     assert float(np.max(losses)) < 1e-8
 
 
+def test_distill_checkpoint_resume_exact(tmp_path):
+    """Interrupted-and-resumed distillation reproduces the
+    uninterrupted run (absolute-step RNG keys + restored Adam state
+    make the resume exact — the fit() elastic-recovery contract)."""
+    teacher = tiny_nerf(24)
+    teacher_params = teacher.init(jax.random.PRNGKey(4))
+    sampler = RaySampler(BOUNDS, rig(), 8, stratified=True)
+    common = dict(batch_rays=32, steps_per_call=10, seed=5)
+
+    full_params, full_losses = distill(
+        teacher, teacher_params, tiny_nerf(16), sampler,
+        num_steps=40, **common)
+
+    ckpt_dir = str(tmp_path / "ck")
+    distill(teacher, teacher_params, tiny_nerf(16), sampler,
+            num_steps=20, checkpoint_dir=ckpt_dir,
+            checkpoint_interval=10, **common)
+    resumed_params, resumed_losses = distill(
+        teacher, teacher_params, tiny_nerf(16), sampler,
+        num_steps=40, checkpoint_dir=ckpt_dir,
+        checkpoint_interval=10, resume=True, **common)
+
+    assert resumed_losses.shape == (20,)
+    np.testing.assert_allclose(resumed_losses, full_losses[20:],
+                               rtol=1e-5, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(full_params),
+                    jax.tree.leaves(resumed_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
+
+
 def test_distill_occupancy_sampler():
     """Teacher-density-guided supervision placement runs jit-clean."""
     teacher = tiny_nerf(24)

@@ -91,7 +91,8 @@ for shape in 7x128 8x128; do
     run_stage "distill_$shape" 7200 "results/student_${shape}_r5/student.npz" \
         python -u distill_model.py "$TEACHER" "results/student_${shape}_r5" \
         --student-layers "$layers" --student-channels "$chans" \
-        --num-steps 50000 --decay-rate 0.1 --decay-steps 50000
+        --num-steps 50000 --decay-rate 0.1 --decay-steps 50000 \
+        --checkpoint-interval 5000 --resume
 done
 
 for shape in 7x128 8x128; do
