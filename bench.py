@@ -287,11 +287,16 @@ def main():
         from fourier_feature_nets_tpu.cli.common import RENDER_PRESETS
         from fourier_feature_nets_tpu.models import NeRF
 
+        from fourier_feature_nets_tpu.cli.common import (
+            RECOMMENDED_STUDENT)
+
         preset = RENDER_PRESETS["fast"]
-        student = NeRF(num_layers=6, num_channels=192,
+        student = NeRF(num_layers=RECOMMENDED_STUDENT[0],
+                       num_channels=RECOMMENDED_STUDENT[1],
                        max_log_scale_pos=9.0, num_freq_pos=10,
                        max_log_scale_view=3.0, num_freq_view=4,
-                       skips=[3], include_inputs=True)
+                       skips=[RECOMMENDED_STUDENT[0] // 2],
+                       include_inputs=True)
         student_params = student.init(jax.random.PRNGKey(0))
         s_sampler = OccupancyGridSampler(
             tree, cameras, preset["num_samples"], grid_resolution=64,

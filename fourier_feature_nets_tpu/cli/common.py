@@ -150,6 +150,14 @@ def make_visualizers(args, train_dataset, val_dataset, num_samples=None):
 # "fast" pairs naturally with a distilled student checkpoint
 # (cli/distill_model.py) — the teacher-sized model works but leaves
 # the speedup on the table.
+# The recommended serving student shape (num_layers, num_channels):
+# the measured frontier point that `--preset fast` pairs with
+# (docs/RESULTS.md § Stacked serving preset / § MXU-aligned sweep).
+# Single source of truth — `ffn-distill`'s default student and
+# bench.py's student-frame metric both read it, so re-pointing the
+# recommendation after a new sweep is a one-line change.
+RECOMMENDED_STUDENT = (6, 192)
+
 RENDER_PRESETS = {
     "fast": {
         # density-grid culling + the production 48-sample dose; early

@@ -38,8 +38,13 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("teacher_path",
                         help="Trained teacher checkpoint (.npz or .pt)")
     parser.add_argument("results_dir")
-    parser.add_argument("--student-layers", type=int, default=4)
-    parser.add_argument("--student-channels", type=int, default=128)
+    from .common import RECOMMENDED_STUDENT
+    parser.add_argument("--student-layers", type=int,
+                        default=RECOMMENDED_STUDENT[0],
+                        help="Student depth (default: the recommended "
+                             "serving shape, cli/common.py)")
+    parser.add_argument("--student-channels", type=int,
+                        default=RECOMMENDED_STUDENT[1])
     parser.add_argument("--student-freq-pos", type=int, default=10)
     parser.add_argument("--student-freq-view", type=int, default=4)
     parser.add_argument("--num-steps", type=int, default=20000)
