@@ -50,6 +50,13 @@ wait_tunnel() {
 # Skips if the artifact exists; otherwise probes the tunnel, runs the
 # command (log: $R5/<name>.log), touches the marker on success.
 # Retries up to 4 times across outages.
+#
+# Stall watchdog: the tunnel's characteristic failure is a silent
+# wedge (a run hung >15 min at a point the rerun passed in seconds —
+# CLAUDE.md); every stage prints at least every few minutes when
+# healthy, so if the stage log stops GROWING for STALL_S the attempt
+# is killed and retried instead of burning the full timeout.
+STALL_S=900
 run_stage() {
     local name=$1 tmo=$2 artifact=$3
     shift 3
@@ -57,16 +64,37 @@ run_stage() {
         log "stage $name: already done ($artifact)"
         return 0
     fi
-    local attempt
+    local attempt rc pid size last_size stalled
     for attempt in 1 2 3 4; do
         wait_tunnel
         log "stage $name: attempt $attempt (timeout ${tmo}s): $*"
-        if timeout "$tmo" "$@" > "$R5/$name.log" 2>&1; then
+        timeout "$tmo" "$@" > "$R5/$name.log" 2>&1 &
+        pid=$!
+        last_size=-1
+        stalled=0
+        while kill -0 "$pid" 2>/dev/null; do
+            sleep 60
+            size=$(stat -c %s "$R5/$name.log" 2>/dev/null || echo 0)
+            if [ "$size" = "$last_size" ]; then
+                stalled=$((stalled + 60))
+                if [ "$stalled" -ge "$STALL_S" ]; then
+                    log "stage $name: log static ${STALL_S}s — killing (stall watchdog)"
+                    kill "$pid" 2>/dev/null  # timeout forwards TERM
+                    sleep 5
+                fi
+            else
+                stalled=0
+                last_size=$size
+            fi
+        done
+        wait "$pid"
+        rc=$?
+        if [ "$rc" = 0 ]; then
             [ -e "$artifact" ] || touch "$artifact"
             log "stage $name: OK"
             return 0
         fi
-        log "stage $name: FAILED (exit $?); tail of log:"
+        log "stage $name: FAILED (exit $rc); tail of log:"
         tail -3 "$R5/$name.log" || true
         sleep 60
     done
