@@ -37,6 +37,16 @@ probe_tunnel() {
 }
 
 wait_tunnel() {
+    # a stage that just succeeded IS the health proof — skip the
+    # probe (fresh probe processes pay a multi-minute first-dispatch
+    # stall even when the tunnel is fine, measured 2026-08-20)
+    if [ -f "$R5/last_ok" ]; then
+        local age=$(( $(date +%s) - $(cat "$R5/last_ok") ))
+        if [ "$age" -lt 300 ]; then
+            log "tunnel OK (stage success ${age}s ago; probe skipped)"
+            return 0
+        fi
+    fi
     local n=0
     until probe_tunnel; do
         n=$((n + 1))
@@ -91,6 +101,7 @@ run_stage() {
         rc=$?
         if [ "$rc" = 0 ]; then
             [ -e "$artifact" ] || touch "$artifact"
+            date +%s > "$R5/last_ok"
             log "stage $name: OK"
             return 0
         fi
