@@ -146,6 +146,24 @@ for shape in 7x128 8x128; do
         --preset fast --clients 1 2 4
 done
 
+# The shipped recommendation (6x192): re-distilled from this round's
+# teacher so the multi-client / pose tables are recorded at the
+# `--preset fast` operating point the docs defend, with fresh
+# artifacts end-to-end.
+run_stage distill_6x192 7200 "results/student_6x192_r5/student.npz" \
+    python -u distill_model.py "$TEACHER" "results/student_6x192_r5" \
+    --student-layers 6 --student-channels 192 \
+    --num-steps 50000 --decay-rate 0.1 --decay-steps 50000 \
+    --checkpoint-interval 5000 --resume
+
+run_stage eval_6x192 1800 "$R5/eval_6x192.ok" \
+    python -u -m tools.distill_eval "$TEACHER" \
+    "results/student_6x192_r5/student.npz" "$SCENE" 48
+
+run_stage serve_6x192 2400 "$R5/serve_6x192.ok" \
+    python -u -m tools.serve_bench "results/student_6x192_r5/student.npz" \
+    --preset fast --clients 1 2 4
+
 run_stage pose_budget 1800 "$R5/pose_budget.ok" \
     python -u -m tools.profile_frame --pose --density-grid \
     --num-samples 48 --model results/student_7x128_r5/student.npz
