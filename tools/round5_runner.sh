@@ -164,6 +164,30 @@ run_stage serve_6x192 2400 "$R5/serve_6x192.ok" \
     python -u -m tools.serve_bench "results/student_6x192_r5/student.npz" \
     --preset fast --clients 1 2 4
 
+# Robustness replicates for the 128-wide quality result (rule out an
+# optimization fluke before recording a negative): a second seed and
+# a halved LR at 7x128.
+run_stage distill_7x128_s2 7200 "results/student_7x128_s2_r5/student.npz" \
+    python -u distill_model.py "$TEACHER" "results/student_7x128_s2_r5" \
+    --student-layers 7 --student-channels 128 \
+    --num-steps 50000 --decay-rate 0.1 --decay-steps 50000 \
+    --seed 123 --checkpoint-interval 5000 --resume
+
+run_stage eval_7x128_s2 1800 "$R5/eval_7x128_s2.ok" \
+    python -u -m tools.distill_eval "$TEACHER" \
+    "results/student_7x128_s2_r5/student.npz" "$SCENE" 48
+
+run_stage distill_7x128_lr 7200 "results/student_7x128_lr_r5/student.npz" \
+    python -u distill_model.py "$TEACHER" "results/student_7x128_lr_r5" \
+    --student-layers 7 --student-channels 128 \
+    --num-steps 50000 --learning-rate 2.5e-4 \
+    --decay-rate 0.1 --decay-steps 50000 \
+    --checkpoint-interval 5000 --resume
+
+run_stage eval_7x128_lr 1800 "$R5/eval_7x128_lr.ok" \
+    python -u -m tools.distill_eval "$TEACHER" \
+    "results/student_7x128_lr_r5/student.npz" "$SCENE" 48
+
 run_stage pose_budget 1800 "$R5/pose_budget.ok" \
     python -u -m tools.profile_frame --pose --density-grid \
     --num-samples 48 --model results/student_7x128_r5/student.npz
