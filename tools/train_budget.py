@@ -67,9 +67,11 @@ def main():
     fviews = views.reshape(-1, 3)
     target = jnp.ones((rays, 3)) * 0.5
 
-    def scan_time(body_fn, init, iters=scan_steps):
-        """Mean seconds/iter of body_fn inside one compiled scan,
-        chained through a scalar carry (bench.py methodology)."""
+    def scan_time(body_fn, init, iters=scan_steps, rounds=3):
+        """Best-of-``rounds`` mean seconds/iter of body_fn inside one
+        compiled scan, chained through a scalar carry (bench.py
+        methodology — the MIN over rounds measures the hardware, the
+        outliers measure the tunnel's congestion episodes, CLAUDE.md)."""
         @jax.jit
         def run(carry):
             def body(c, _):
@@ -80,11 +82,14 @@ def main():
         c = run(init)
         jax.tree_util.tree_map(
             lambda a: float(jnp.sum(jnp.ravel(a)[0])), c)
-        start = time.perf_counter()
-        c = run(c)
-        jax.tree_util.tree_map(
-            lambda a: float(jnp.sum(jnp.ravel(a)[0])), c)
-        return (time.perf_counter() - start) / iters, run, c
+        best = float("inf")
+        for _ in range(rounds):
+            start = time.perf_counter()
+            c = run(c)
+            jax.tree_util.tree_map(
+                lambda a: float(jnp.sum(jnp.ravel(a)[0])), c)
+            best = min(best, time.perf_counter() - start)
+        return best / iters, run, c
 
     rows = []
 
@@ -121,15 +126,19 @@ def main():
 
     state = one_step(params, adam_init(params), jnp.float32(0.0))
     float(state[2])
-    start = time.perf_counter()
     n_disp = 20
-    for _ in range(n_disp):
-        state = one_step(*state)
-    float(state[2])
-    dt_single = (time.perf_counter() - start) / n_disp
+    dt_single = float("inf")
+    for _ in range(3):  # best-of, congestion immunity (CLAUDE.md)
+        start = time.perf_counter()
+        for _ in range(n_disp):
+            state = one_step(*state)
+        float(state[2])
+        dt_single = min(dt_single,
+                        (time.perf_counter() - start) / n_disp)
     report("full step (1/dispatch)", dt_single)
     print(f"  -> per-dispatch overhead ~{(dt_single - dt_full) * 1e3:.2f} ms "
-          "(amortized away by fit(steps_per_call=K))")
+          "(asynchronously pipelined across calls; amortized away by "
+          "fit(steps_per_call=K))")
 
     # --- fwd only (pack + kernel + composite + loss) ---
     def fwd_only(carry):
